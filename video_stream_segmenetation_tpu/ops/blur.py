@@ -1,0 +1,57 @@
+"""Separable blurs for background-blur compositing.
+
+The reference has no in-code blur (its background is a generated image via
+CSS stacking), but background-blur is a named capability of the rebuild
+(BASELINE.json configs: "binary mask + background-blur composite").
+Separable Gaussian = two 1-D convs; kernels are built at trace time
+(static sigma) so XLA sees constant weights and fuses freely.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_kernel(sigma: float, radius: int | None = None) -> np.ndarray:
+    if radius is None:
+        radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _conv_axis(x: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
+    """1-D 'same' convolution with edge-replicate padding along ``axis``."""
+    r = len(kernel) // 2
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (r, r)
+    xp = jnp.pad(x, pads, mode="edge")
+    out = jnp.zeros_like(x)
+    size = x.shape[axis]
+    for i, kv in enumerate(kernel):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, i + size)
+        out = out + xp[tuple(sl)] * jnp.asarray(kv, x.dtype)
+    return out
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int | None = None) -> jnp.ndarray:
+    """Separable Gaussian blur of ``[..., H, W, C]`` (channel-last)."""
+    k = _gaussian_kernel(float(sigma), radius)
+    out = _conv_axis(img, k, img.ndim - 3)
+    out = _conv_axis(out, k, img.ndim - 2)
+    return out
+
+
+def box_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Separable box blur of ``[..., H, W, C]`` -- the cheap large-radius
+    path (3 box passes ~ Gaussian)."""
+    k = np.full((2 * radius + 1,), 1.0 / (2 * radius + 1), dtype=np.float32)
+    out = _conv_axis(img, k, img.ndim - 3)
+    out = _conv_axis(out, k, img.ndim - 2)
+    return out
