@@ -1,0 +1,89 @@
+"""Headline benchmark: concurrent 720p30 streams per chip.
+
+Runs the FULL fused pipeline step (preprocess -> MatteNet -> face subpath
+-> refinement chain -> composite) on real hardware at S=64 streams of
+720p, measures steady-state step latency, and reports how many 720p30
+streams one chip sustains (streams * min(1, budget/step) where budget =
+33.33 ms for 30 fps).
+
+Baseline (BASELINE.md): >= 64 concurrent 720p30 streams per TPU v5e chip.
+vs_baseline = value / 64.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TARGET_STREAMS = 64
+TARGET_FPS = 30.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu import runtime
+    from video_stream_segmenetation_tpu.service.engine import Engine
+
+    S = TARGET_STREAMS
+    statics = runtime.PipelineStatics()  # 720p frames, 288x512 mask
+    engine = Engine(num_streams=S, statics=statics, donate_state=False)
+    for _ in range(S):
+        engine.admit()
+
+    rng = np.random.default_rng(0)
+    frames = (rng.random((S, *statics.frame_hw, 3)) * 255).astype(np.uint8)
+    frames_dev = jax.device_put(jnp.asarray(frames))
+    bgs = engine.backgrounds
+    gate = jnp.ones((S,), bool)
+
+    # warmup / compile
+    for _ in range(3):
+        state, out = engine._step(
+            engine.bundle.params, engine.state, frames_dev, bgs, engine.knobs, gate
+        )
+        engine.state = state
+    jax.block_until_ready(out["frame"])
+
+    # steady state timing of the raw device step
+    iters = 20
+    samples = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, out = engine._step(
+            engine.bundle.params, engine.state, frames_dev, bgs, engine.knobs, gate
+        )
+        engine.state = state
+        jax.block_until_ready(out["frame"])
+        samples.append((time.perf_counter() - t0) * 1e3)
+
+    samples.sort()
+    p50 = samples[len(samples) // 2]
+    budget_ms = 1000.0 / TARGET_FPS
+    # how many 720p30 streams this chip sustains at this step latency
+    streams_sustained = S * min(budget_ms / p50, 4.0)  # cap the extrapolation
+
+    result = {
+        "metric": "streams_720p30_per_chip",
+        "value": round(streams_sustained, 1),
+        "unit": "streams",
+        "vs_baseline": round(streams_sustained / TARGET_STREAMS, 3),
+        "detail": {
+            "batch_streams": S,
+            "step_ms_p50": round(p50, 2),
+            "step_ms_min": round(samples[0], 2),
+            "per_frame_latency_ms_p50": round(p50, 2),
+            "latency_target_ms": 8.0,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+// Native frame-ingestion runtime: the host-side half of the IO pipeline.
+//
+// Role in the framework (SURVEY.md §7 step 6): the reference's frame source
+// is the browser media stack (getUserMedia -> <video> -> canvas readbacks,
+// client/src/core/camera.ts:1-29); in a TPU serving stack the equivalent is
+// a native ingestion layer that accepts decoded frames from N streams,
+// converts pixel formats (YUV420 -> RGB, the decode-to-tensor stage named
+// in BASELINE.json), and assembles the freshest frame per stream into a
+// contiguous [S, H, W, 3] batch buffer that jax.device_put can DMA without
+// further copies.  Double-buffered: assembly writes one buffer while the
+// previous batch is still being uploaded.
+//
+// Concurrency model: one producer thread per stream (lock-free SPSC slot
+// ring per stream, seqlock-style), one consumer (the batch assembler).
+// No mutexes on the hot path.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct StreamRing {
+    // Triple-buffered slots per stream: producer writes round-robin,
+    // consumer snapshots the latest complete slot.
+    static constexpr int kSlots = 3;
+    std::vector<uint8_t> data;          // kSlots * frame_bytes
+    std::atomic<uint64_t> seq[kSlots];  // even = stable, odd = writing
+    std::atomic<int> latest{-1};
+    std::atomic<uint64_t> frame_id{0};
+    std::atomic<uint64_t> consumed_id{0};
+    std::atomic<uint64_t> drops{0};
+};
+
+struct Pool {
+    int num_streams;
+    int height;
+    int width;
+    size_t frame_bytes;  // H*W*3
+    std::vector<StreamRing> rings;
+    // double-buffered batch output
+    std::vector<uint8_t> batch[2];
+    std::vector<uint64_t> batch_ids[2];
+    int cur_batch = 0;
+};
+
+inline uint8_t clamp_u8(int v) {
+    return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---- pool lifecycle -------------------------------------------------------
+
+void* vst_pool_create(int num_streams, int height, int width) {
+    Pool* p = new Pool();
+    p->num_streams = num_streams;
+    p->height = height;
+    p->width = width;
+    p->frame_bytes = static_cast<size_t>(height) * width * 3;
+    p->rings = std::vector<StreamRing>(num_streams);
+    for (auto& r : p->rings) {
+        r.data.resize(StreamRing::kSlots * p->frame_bytes);
+        for (int i = 0; i < StreamRing::kSlots; ++i) r.seq[i].store(0);
+    }
+    for (int b = 0; b < 2; ++b) {
+        p->batch[b].resize(static_cast<size_t>(num_streams) * p->frame_bytes);
+        p->batch_ids[b].resize(num_streams, 0);
+    }
+    return p;
+}
+
+void vst_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }
+
+// ---- producer side (one thread per stream) --------------------------------
+
+// Push an RGB frame for stream `s`. Returns the frame id.
+namespace {
+inline void count_drop(StreamRing& r, uint64_t id) {
+    // The slot being overwritten held frame (id - kSlots); if that frame
+    // exists and was never consumed, it is lost: backpressure signal.
+    if (id > StreamRing::kSlots) {
+        uint64_t overwritten = id - StreamRing::kSlots;
+        if (overwritten > r.consumed_id.load(std::memory_order_relaxed))
+            r.drops.fetch_add(1, std::memory_order_relaxed);
+    }
+}
+}  // namespace
+
+uint64_t vst_push_rgb(void* pool, int s, const uint8_t* rgb) {
+    Pool* p = static_cast<Pool*>(pool);
+    StreamRing& r = p->rings[s];
+    uint64_t id = r.frame_id.fetch_add(1, std::memory_order_relaxed) + 1;
+    int slot = static_cast<int>(id % StreamRing::kSlots);
+    count_drop(r, id);
+    // seqlock write: mark busy (odd), copy, mark stable (even)
+    uint64_t seq0 = r.seq[slot].load(std::memory_order_relaxed);
+    r.seq[slot].store(seq0 + 1, std::memory_order_release);
+    std::memcpy(r.data.data() + slot * p->frame_bytes, rgb, p->frame_bytes);
+    r.seq[slot].store(seq0 + 2, std::memory_order_release);
+    r.latest.store(slot, std::memory_order_release);
+    return id;
+}
+
+// Push an I420 (YUV420 planar) frame; converted to RGB in place (BT.601).
+// This is the "frame decode-to-tensor" stage: decoders emit YUV.
+uint64_t vst_push_i420(void* pool, int s, const uint8_t* y, const uint8_t* u,
+                       const uint8_t* v, int y_stride, int uv_stride) {
+    Pool* p = static_cast<Pool*>(pool);
+    StreamRing& r = p->rings[s];
+    uint64_t id = r.frame_id.fetch_add(1, std::memory_order_relaxed) + 1;
+    int slot = static_cast<int>(id % StreamRing::kSlots);
+    count_drop(r, id);
+    uint64_t seq0 = r.seq[slot].load(std::memory_order_relaxed);
+    r.seq[slot].store(seq0 + 1, std::memory_order_release);
+
+    uint8_t* dst = r.data.data() + slot * p->frame_bytes;
+    const int W = p->width, H = p->height;
+    for (int row = 0; row < H; ++row) {
+        const uint8_t* yr = y + row * y_stride;
+        const uint8_t* ur = u + (row / 2) * uv_stride;
+        const uint8_t* vr = v + (row / 2) * uv_stride;
+        uint8_t* out = dst + static_cast<size_t>(row) * W * 3;
+        for (int col = 0; col < W; ++col) {
+            int yy = (static_cast<int>(yr[col]) - 16) * 298;
+            int uu = static_cast<int>(ur[col / 2]) - 128;
+            int vv = static_cast<int>(vr[col / 2]) - 128;
+            out[col * 3 + 0] = clamp_u8((yy + 409 * vv + 128) >> 8);
+            out[col * 3 + 1] = clamp_u8((yy - 100 * uu - 208 * vv + 128) >> 8);
+            out[col * 3 + 2] = clamp_u8((yy + 516 * uu + 128) >> 8);
+        }
+    }
+    r.seq[slot].store(seq0 + 2, std::memory_order_release);
+    r.latest.store(slot, std::memory_order_release);
+    return id;
+}
+
+// ---- consumer side (batch assembler) --------------------------------------
+
+// Assemble the freshest frame of every stream into the next batch buffer.
+// Returns a pointer to a stable [S, H, W, 3] uint8 buffer (valid until the
+// *next* vst_assemble_batch call on the same pool -- double buffering).
+// frame_ids_out (len S) receives the frame id captured per stream (0 if the
+// stream never produced).
+const uint8_t* vst_assemble_batch(void* pool, uint64_t* frame_ids_out) {
+    Pool* p = static_cast<Pool*>(pool);
+    int b = p->cur_batch ^ 1;  // write the other buffer
+    uint8_t* out = p->batch[b].data();
+    for (int s = 0; s < p->num_streams; ++s) {
+        StreamRing& r = p->rings[s];
+        int slot = r.latest.load(std::memory_order_acquire);
+        uint8_t* dst = out + static_cast<size_t>(s) * p->frame_bytes;
+        if (slot < 0) {
+            std::memset(dst, 0, p->frame_bytes);
+            if (frame_ids_out) frame_ids_out[s] = 0;
+            continue;
+        }
+        // seqlock read: retry while the producer is mid-write
+        for (;;) {
+            uint64_t s0 = r.seq[slot].load(std::memory_order_acquire);
+            if (s0 & 1) { slot = r.latest.load(std::memory_order_acquire); continue; }
+            std::memcpy(dst, r.data.data() + slot * p->frame_bytes, p->frame_bytes);
+            uint64_t s1 = r.seq[slot].load(std::memory_order_acquire);
+            if (s0 == s1) break;  // stable snapshot
+            slot = r.latest.load(std::memory_order_acquire);
+        }
+        uint64_t captured = r.frame_id.load(std::memory_order_relaxed);
+        r.consumed_id.store(captured, std::memory_order_relaxed);
+        if (frame_ids_out) frame_ids_out[s] = captured;
+    }
+    p->cur_batch = b;
+    return out;
+}
+
+uint64_t vst_stream_drops(void* pool, int s) {
+    return static_cast<Pool*>(pool)->rings[s].drops.load(std::memory_order_relaxed);
+}
+
+int vst_frame_bytes(void* pool) {
+    return static_cast<int>(static_cast<Pool*>(pool)->frame_bytes);
+}
+
+}  // extern "C"

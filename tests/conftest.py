@@ -20,6 +20,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
 
+# The axon TPU plugin in this image overrides the JAX_PLATFORMS env var;
+# the config knob wins, so force the CPU backend explicitly.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the suite is compile-bound on the 1-core CPU
 # runner; cache compiled executables across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -1,0 +1,125 @@
+"""Native IO runtime: ring buffers, batch assembly, YUV conversion, threads."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from video_stream_segmenetation_tpu.runtime import native
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native lib unavailable"
+)
+
+H, W = 32, 48
+
+
+def test_push_and_assemble(rng):
+    pool = native.FramePool(2, H, W)
+    f0 = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    f1 = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    assert pool.push_rgb(0, f0) == 1
+    assert pool.push_rgb(1, f1) == 1
+    batch, ids = pool.assemble()
+    assert batch.shape == (2, H, W, 3)
+    np.testing.assert_array_equal(batch[0], f0)
+    np.testing.assert_array_equal(batch[1], f1)
+    np.testing.assert_array_equal(ids, [1, 1])
+    pool.close()
+
+
+def test_latest_frame_wins(rng):
+    pool = native.FramePool(1, H, W)
+    for i in range(5):
+        f = np.full((H, W, 3), i * 10, np.uint8)
+        pool.push_rgb(0, f)
+    batch, ids = pool.assemble()
+    assert ids[0] == 5
+    assert batch[0, 0, 0, 0] == 40  # freshest
+    pool.close()
+
+
+def test_empty_stream_zero_filled():
+    pool = native.FramePool(2, H, W)
+    pool.push_rgb(1, np.full((H, W, 3), 7, np.uint8))
+    batch, ids = pool.assemble()
+    assert ids[0] == 0 and batch[0].max() == 0
+    assert ids[1] == 1 and batch[1].min() == 7
+    pool.close()
+
+
+def test_double_buffering(rng):
+    pool = native.FramePool(1, H, W)
+    a = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    b = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    pool.push_rgb(0, a)
+    batch1, _ = pool.assemble()
+    snap1 = batch1.copy()
+    pool.push_rgb(0, b)
+    batch2, _ = pool.assemble()
+    # batch1's buffer is the *other* buffer: still holds the old frame
+    np.testing.assert_array_equal(batch1, snap1)
+    np.testing.assert_array_equal(batch2[0], b)
+    pool.close()
+
+
+def test_i420_conversion_grey():
+    pool = native.FramePool(1, H, W)
+    # Y=128, U=V=128 -> mid grey (BT.601: (128-16)*1.164 ~ 130)
+    y = np.full((H, W), 128, np.uint8)
+    u = np.full((H // 2, W // 2), 128, np.uint8)
+    v = np.full((H // 2, W // 2), 128, np.uint8)
+    pool.push_i420(0, y, u, v)
+    batch, _ = pool.assemble()
+    px = batch[0, 0, 0]
+    assert abs(int(px[0]) - 130) <= 2
+    assert abs(int(px[0]) - int(px[1])) <= 1 and abs(int(px[1]) - int(px[2])) <= 1
+    pool.close()
+
+
+def test_i420_red():
+    pool = native.FramePool(1, H, W)
+    # pure-ish red in BT.601: R=255 -> Y~81, U~90, V~240
+    y = np.full((H, W), 81, np.uint8)
+    u = np.full((H // 2, W // 2), 90, np.uint8)
+    v = np.full((H // 2, W // 2), 240, np.uint8)
+    pool.push_i420(0, y, u, v)
+    batch, _ = pool.assemble()
+    r, g, b = (int(c) for c in batch[0, 0, 0])
+    assert r > 220 and g < 40 and b < 40
+    pool.close()
+
+
+def test_concurrent_producers(rng):
+    pool = native.FramePool(4, H, W)
+    n_frames = 50
+
+    def producer(s):
+        for i in range(n_frames):
+            pool.push_rgb(s, np.full((H, W, 3), (s * 37 + i) % 256, np.uint8))
+
+    threads = [threading.Thread(target=producer, args=(s,)) for s in range(4)]
+    for t in threads:
+        t.start()
+    # consumer races with producers
+    for _ in range(20):
+        batch, ids = pool.assemble()
+        # every snapshot is internally consistent: constant-valued frames
+        for s in range(4):
+            if ids[s]:
+                vals = np.unique(batch[s])
+                assert vals.size == 1
+    for t in threads:
+        t.join()
+    batch, ids = pool.assemble()
+    np.testing.assert_array_equal(ids, [n_frames] * 4)
+    pool.close()
+
+
+def test_drop_counter(rng):
+    pool = native.FramePool(1, H, W)
+    f = np.zeros((H, W, 3), np.uint8)
+    for _ in range(10):
+        pool.push_rgb(0, f)
+    assert pool.drops(0) >= 1  # ring overwritten without consumption
+    pool.close()

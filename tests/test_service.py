@@ -1,0 +1,93 @@
+"""Engine: admission, knobs, degradation, counters."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from video_stream_segmenetation_tpu import runtime
+from video_stream_segmenetation_tpu.service import Counters, Engine, EngineHealth
+
+FRAME_HW = (48, 64)
+MASK_HW = (32, 64)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    statics = runtime.PipelineStatics(
+        frame_hw=FRAME_HW,
+        mask_hw=MASK_HW,
+        fd_size=64,
+        lmk_size=48,
+        background="image",
+        face_path=False,  # keep the CPU test light
+    )
+    return Engine(num_streams=2, statics=statics, donate_state=False)
+
+
+def _frames(rng, n=2):
+    return (rng.random((n, *FRAME_HW, 3)) * 255).astype(np.uint8)
+
+
+def test_admit_evict(engine):
+    s0 = engine.admit()
+    s1 = engine.admit()
+    assert {s0, s1} == {0, 1}
+    with pytest.raises(RuntimeError):
+        engine.admit()
+    engine.evict(s1)
+    assert engine.admit() == s1
+
+
+def test_process_shapes_and_metrics(engine, rng):
+    out = engine.process(_frames(rng))
+    assert out["frame"].shape == (2, *FRAME_HW, 3)
+    m = out["metrics"]
+    assert m["health"]["state"] == "ok"
+    assert m["total_ms_p50"] > 0
+    assert "inference_ms_p50" in m and "thread_load_pct" in m
+
+
+def test_live_knobs_applied_at_step_boundary(engine, rng):
+    f = _frames(rng)
+    base = np.asarray(engine.process(f)["alpha"])
+    engine.set_knobs(0, gamma=2.5, use_bilateral=False)
+    out = np.asarray(engine.process(f)["alpha"])
+    assert not np.allclose(out[0], base[0])  # stream 0 changed
+    engine.reset_knobs(0)
+    engine.process(f)
+    assert float(engine.knobs.gamma[0]) == pytest.approx(0.4)
+
+
+def test_set_background_resizes(engine):
+    img = (np.random.default_rng(1).random((24, 24, 3)) * 255).astype(np.uint8)
+    engine.set_background(0, img)
+    assert engine.backgrounds.shape == (2, *FRAME_HW, 3)
+    assert float(jnp.abs(engine.backgrounds[0]).max()) > 0
+
+
+def test_degradation_and_recovery(engine, rng):
+    f = _frames(rng)
+    # poison the step to force failures
+    real_step = engine._step
+    engine._step = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+    for _ in range(engine.health.max_consecutive_failures):
+        out = engine.process(f)
+    assert engine.health.state is EngineHealth.DEGRADED
+    # degraded mode: passthrough frames
+    np.testing.assert_array_equal(np.asarray(out["frame"]), f)
+    # restore; probe timer forces a retry
+    engine._step = real_step
+    engine.health._degraded_at = 0.0  # make should_probe true
+    out = engine.process(f)
+    assert engine.health.state is EngineHealth.OK
+
+
+def test_counters_percentiles():
+    c = Counters()
+    for ms in [1, 2, 3, 4, 100]:
+        c.record_step(4, ms, ms + 1)
+    snap = c.snapshot()
+    assert snap["inference_ms_p50"] == 3
+    assert snap["total_ms_p95"] == 101
+    assert snap["frames_total"] == 20

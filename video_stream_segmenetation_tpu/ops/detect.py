@@ -27,10 +27,14 @@ import numpy as np
 
 @functools.lru_cache(maxsize=None)
 def blazeface_anchors(input_size: int = 256) -> np.ndarray:
-    """[896, 2] normalized (cx, cy) anchor centers: 16x16 grid x2 anchors +
-    8x8 grid x6 anchors (MediaPipe back-model SSD anchor config)."""
+    """[A, 2] normalized (cx, cy) anchor centers: (in/16)^2 grid x2 anchors
+    + (in/32)^2 grid x6 anchors.  For the canonical 256 input this is the
+    MediaPipe back-model 896-anchor config (16x16x2 + 8x8x6) the reference
+    contract exposes (box_coords [1,896,16], model.ts:32-34); other input
+    sizes (e.g. blaze.onnx's 128) scale the grids consistently with the
+    detector head strides."""
     anchors = []
-    for grid, per_cell in ((16, 2), (8, 6)):
+    for grid, per_cell in ((input_size // 16, 2), (input_size // 32, 6)):
         for gy in range(grid):
             for gx in range(grid):
                 cx = (gx + 0.5) / grid

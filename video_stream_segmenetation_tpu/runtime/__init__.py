@@ -1,0 +1,18 @@
+"""Runtime: batched stream state, live config, the fused pipeline step."""
+
+from video_stream_segmenetation_tpu.runtime.config import (  # noqa: F401
+    PipelineKnobs,
+    PipelineStatics,
+    default_knobs,
+)
+from video_stream_segmenetation_tpu.runtime.state import (  # noqa: F401
+    StreamState,
+    init_state,
+    reset_stream,
+    reset_streams,
+)
+from video_stream_segmenetation_tpu.runtime.pipeline import (  # noqa: F401
+    ModelBundle,
+    make_step,
+    segment_once,
+)

@@ -1,0 +1,100 @@
+"""Three-tier config system, mirroring the reference's shape (SURVEY.md §5):
+
+1. **Static build config** (`PipelineStatics`): compile-time constants --
+   model geometry, cadence, warp gains (the reference's hard consts:
+   MODEL_INPUT_SIZE frameProcessorTest.ts:10, FD/LMK sizes :33-34,
+   LANDMARK_INTERVAL/L_MIN_MS/WARP_GAIN main.ts:10-12, WARP_BLEND_WEIGHT
+   :108, FACE_SCORE_THRESH :35).  Changing these retraces/recompiles.
+
+2. **Live per-stream knobs** (`PipelineKnobs`): the mutable `config`
+   object (frameProcessorTest.ts:20-30) -- EMA, NOISE_CUTOFF,
+   HIGH_THRESHOLD, GAMMA, USE_BILATERAL, BILATERAL_SIGMA_SPATIAL/RANGE.
+   Here each knob is an ``[S]`` device array traced as a runtime value, so
+   a slider update (script.ts:20-25) is a cheap buffer swap -- **no
+   retrace** -- and every stream can have different settings (the
+   reference is single-stream so its one global config is the degenerate
+   S=1 case).
+
+3. **Content data**: background templates/presets (background/schema.py),
+   the data.json tier.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# defaultConfig values (frameProcessorTest.ts:12-28)
+DEFAULT_EMA = 0.55
+DEFAULT_NOISE_CUTOFF = 0.06
+DEFAULT_HIGH_THRESHOLD = 0.95
+DEFAULT_GAMMA = 0.4
+DEFAULT_USE_BILATERAL = True
+DEFAULT_BILATERAL_SIGMA_SPATIAL = 1.0
+DEFAULT_BILATERAL_SIGMA_RANGE = 12.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PipelineKnobs:
+    """Per-stream live knobs; every field is an ``[S]`` array."""
+
+    ema: jnp.ndarray
+    noise_cutoff: jnp.ndarray
+    high_threshold: jnp.ndarray
+    gamma: jnp.ndarray
+    use_bilateral: jnp.ndarray  # bool
+    sigma_spatial: jnp.ndarray
+    sigma_range: jnp.ndarray
+
+    @property
+    def num_streams(self) -> int:
+        return self.ema.shape[0]
+
+    def replace_stream(self, s: int, **kw) -> "PipelineKnobs":
+        """Functional single-stream update (a slider move on stream s)."""
+        out = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            out[f.name] = v.at[s].set(kw[f.name]) if f.name in kw else v
+        return PipelineKnobs(**out)
+
+
+def default_knobs(num_streams: int) -> PipelineKnobs:
+    """All streams at defaultConfig (the reset path, script.ts:43-46)."""
+    s = num_streams
+    return PipelineKnobs(
+        ema=jnp.full((s,), DEFAULT_EMA, jnp.float32),
+        noise_cutoff=jnp.full((s,), DEFAULT_NOISE_CUTOFF, jnp.float32),
+        high_threshold=jnp.full((s,), DEFAULT_HIGH_THRESHOLD, jnp.float32),
+        gamma=jnp.full((s,), DEFAULT_GAMMA, jnp.float32),
+        use_bilateral=jnp.full((s,), DEFAULT_USE_BILATERAL, bool),
+        sigma_spatial=jnp.full((s,), DEFAULT_BILATERAL_SIGMA_SPATIAL, jnp.float32),
+        sigma_range=jnp.full((s,), DEFAULT_BILATERAL_SIGMA_RANGE, jnp.float32),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineStatics:
+    """Compile-time pipeline geometry and constants (tier 1)."""
+
+    frame_hw: tuple[int, int] = (720, 1280)
+    mask_hw: tuple[int, int] = (288, 512)  # MODEL_INPUT_SIZE [W,H]=[512,288]
+    fd_size: int = 256  # FD_INPUT (frameProcessorTest.ts:33)
+    lmk_size: int = 192  # LMK_INPUT (:34)
+    lmk_interval: int = 6  # LANDMARK_INTERVAL (main.ts:10)
+    warp_gain: float = 0.7  # WARP_GAIN (main.ts:12)
+    warp_blend_weight: float = 0.3  # WARP_BLEND_WEIGHT (frameProcessorTest.ts:108)
+    face_score_thresh: float = 0.6  # FACE_SCORE_THRESH (:35)
+    lmk_score_thresh: float = 0.3  # (:143)
+    roi_pad: float = 0.25  # cropFaceROI pad (:139)
+    affine_mode: str = "exact"  # 'exact' intent vs 'reference' parity
+    background: str = "image"  # 'image' | 'blur' | 'color'
+    bg_color: tuple[float, float, float] = (20 / 255, 25 / 255, 30 / 255)
+    bg_blur_sigma: float = 8.0
+    upsample_method: str = "half_pixel"
+    compute_dtype: Any = jnp.bfloat16
+    face_path: bool = True  # disable to skip FD/LMK entirely

@@ -1,0 +1,126 @@
+"""ctypes bindings to the native frame-ingestion runtime (native/framebuf.cpp).
+
+FramePool: N per-stream lock-free rings + double-buffered [S, H, W, 3]
+batch assembly + YUV420->RGB conversion, all in C++.  The assembled batch
+is exposed as a zero-copy NumPy view for `jax.device_put` (the HBM staging
+side overlaps with compute via JAX's async dispatch; see SURVEY.md §7
+step 6).
+
+Builds on demand with `make` if the shared library is missing (g++ is in
+the image; no pip/pybind11 involved).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvstio.so")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.vst_pool_create.restype = ctypes.c_void_p
+    lib.vst_pool_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.vst_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib.vst_push_rgb.restype = ctypes.c_uint64
+    lib.vst_push_rgb.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
+    lib.vst_push_i420.restype = ctypes.c_uint64
+    lib.vst_push_i420.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vst_assemble_batch.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.vst_assemble_batch.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
+    lib.vst_stream_drops.restype = ctypes.c_uint64
+    lib.vst_stream_drops.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.vst_frame_bytes.restype = ctypes.c_int
+    lib.vst_frame_bytes.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+class FramePool:
+    """Host-side frame staging for S streams of HxW RGB frames."""
+
+    def __init__(self, num_streams: int, height: int, width: int):
+        self._lib = _load()
+        self.num_streams = num_streams
+        self.height = height
+        self.width = width
+        self._pool = self._lib.vst_pool_create(num_streams, height, width)
+        if not self._pool:
+            raise RuntimeError("vst_pool_create failed")
+        self._ids = (ctypes.c_uint64 * num_streams)()
+
+    def close(self):
+        if self._pool:
+            self._lib.vst_pool_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def push_rgb(self, stream: int, frame: np.ndarray) -> int:
+        """frame: uint8 [H, W, 3] contiguous.  Returns the frame id."""
+        if frame.shape != (self.height, self.width, 3) or frame.dtype != np.uint8:
+            raise ValueError(f"expected uint8 [{self.height},{self.width},3]")
+        frame = np.ascontiguousarray(frame)
+        return self._lib.vst_push_rgb(
+            self._pool, stream, frame.ctypes.data_as(ctypes.c_char_p)
+        )
+
+    def push_i420(self, stream: int, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> int:
+        """Planar YUV420 planes (uint8); converted to RGB natively (BT.601)."""
+        y = np.ascontiguousarray(y, np.uint8)
+        u = np.ascontiguousarray(u, np.uint8)
+        v = np.ascontiguousarray(v, np.uint8)
+        return self._lib.vst_push_i420(
+            self._pool, stream,
+            y.ctypes.data_as(ctypes.c_char_p),
+            u.ctypes.data_as(ctypes.c_char_p),
+            v.ctypes.data_as(ctypes.c_char_p),
+            y.shape[1], u.shape[1],
+        )
+
+    def assemble(self) -> tuple[np.ndarray, np.ndarray]:
+        """Snapshot the freshest frame of every stream.
+
+        Returns (batch, frame_ids): batch is a zero-copy uint8
+        [S, H, W, 3] view into the pool's double buffer -- valid until the
+        next assemble() -- and frame_ids the per-stream capture ids
+        (0 where a stream has produced nothing yet).
+        """
+        ptr = self._lib.vst_assemble_batch(self._pool, self._ids)
+        n = self.num_streams * self.height * self.width * 3
+        buf = np.ctypeslib.as_array(ptr, shape=(n,))
+        batch = buf.reshape(self.num_streams, self.height, self.width, 3)
+        return batch, np.asarray(self._ids, dtype=np.uint64).copy()
+
+    def drops(self, stream: int) -> int:
+        """Frames overwritten before ever being batched (producer faster
+        than consumer) -- the backpressure counter."""
+        return int(self._lib.vst_stream_drops(self._pool, stream))

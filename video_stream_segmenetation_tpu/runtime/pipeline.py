@@ -1,0 +1,245 @@
+"""The fused per-batch pipeline step: the reference's whole per-frame hot
+path (SURVEY.md §3.2) as ONE jitted XLA program over ``[S, ...]`` stream-
+major tensors.
+
+Reference loop (client/src/core/frameProcessorTest.ts:60-186 +
+main.ts:52-111) makes six GPU<->CPU round-trips per frame; here a frame
+enters as uint8 in HBM and leaves as a composited uint8 frame without ever
+touching the host:
+
+    uint8 frames [S,H,W,3]
+      -> preprocess (tf.js-parity resize + /255)               stage 1
+      -> MatteNet forward (bf16)                               stage 2
+      -> warp prev alpha by per-stream affine + 0.3/0.7 blend  stage 3
+      -> temporal EMA (per-stream knob)                        stage 4
+      -> morphological opening                                 stage 5
+      -> face subpath (detector -> prior -> ROI -> landmarks -> Procrustes
+         affine), computed batched, *applied* only on cadence  stage 6
+      -> prior-gated closing                                   stage 7
+      -> joint bilateral (per-stream toggle + sigmas)          stage 8
+      -> threshold/gamma/prior refine                          stage 9
+      -> alpha upsample + composite                            stage 10
+
+The landmark cadence (every LANDMARK_INTERVAL frames + host min-interval +
+in-flight exclusion, main.ts:55-64) becomes a per-stream boolean gate: the
+face models run on the whole batch (they are tiny next to MatteNet) and
+their *outputs* are merged with `where` only for streams whose cadence
+fires this step.  The host-side ms gate rides in via `face_gate`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from video_stream_segmenetation_tpu import ops
+from video_stream_segmenetation_tpu.models.facemesh import NUM_LANDMARKS
+from video_stream_segmenetation_tpu.ops.geometry import (
+    affine_from_landmarks,
+    letterbox_params,
+    pad_box,
+)
+from video_stream_segmenetation_tpu.runtime.config import PipelineKnobs, PipelineStatics
+from video_stream_segmenetation_tpu.runtime.state import StreamState
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """The three live sessions of the reference orchestrator
+    (main.ts:39-41), as (module, params) pairs."""
+
+    matte_model: Any
+    matte_params: Any
+    face_model: Any = None
+    face_params: Any = None
+    lmk_model: Any = None
+    lmk_params: Any = None
+
+    @property
+    def params(self):
+        return {
+            "matte": self.matte_params,
+            "face": self.face_params,
+            "lmk": self.lmk_params,
+        }
+
+
+def _letterbox_to_square(frames: jnp.ndarray, frame_hw, target: int) -> jnp.ndarray:
+    """Static letterbox (toSquareLetterbox semantics,
+    frameProcessorTest.ts:613-642): fit-resize then pad with black."""
+    _, dw, dh, off_x, off_y = letterbox_params(frame_hw, target)
+    small = ops.resize_bilinear(frames, (dh, dw), method="half_pixel")
+    pads = [(0, 0)] * (frames.ndim - 3) + [
+        (off_y, target - dh - off_y),
+        (off_x, target - dw - off_x),
+        (0, 0),
+    ]
+    return jnp.pad(small, pads)
+
+
+def _face_subpath(bundle, params, frames_f32, state, statics: PipelineStatics, face_gate):
+    """Batched stage 6: detector -> prior -> ROI -> landmarks -> affine.
+
+    Returns (prior [S,h,w], has_prior [S], affine_update [S,6],
+    has_update [S], det_score [S]).
+    """
+    s = frames_f32.shape[0]
+    mh, mw = statics.mask_hw
+    fh, fw = statics.frame_hw
+
+    # cadence: frameIdx % interval == 0 (main.ts:57) AND host gate
+    cadence = (state.frame_idx % statics.lmk_interval) == 0
+    fire = cadence & face_gate
+
+    # -- detector @ fd_size, letterboxed (the *intended* behavior; the
+    # reference's active file has the letterboxMap bug, SURVEY.md App. A)
+    fd_in = _letterbox_to_square(frames_f32, (fh, fw), statics.fd_size)
+    det = bundle.face_model.apply(params["face"], fd_in)
+    box, score, det_valid = ops.best_box_decode(
+        det["box_coords"], det["box_scores"], (fh, fw), statics.fd_size, letterboxed=True
+    )
+    det_ok = fire & det_valid & (score >= statics.face_score_thresh)
+
+    # -- elliptical prior (frameProcessorTest.ts:136)
+    prior = ops.face_prior_mask(box, (fh, fw), (mh, mw))
+    prior = jnp.where(det_ok[:, None, None], prior, 0.0)
+
+    # -- ROI crop + landmarks (:139-143)
+    roi = pad_box(box, statics.roi_pad, (fh, fw))
+    roi_img = jax.vmap(
+        lambda img, b: ops.crop_and_resize(img, b, (statics.lmk_size, statics.lmk_size))
+    )(frames_f32, roi)
+    lmk = bundle.lmk_model.apply(params["lmk"], roi_img)
+    lmk_ok = det_ok & (lmk["scores"] >= statics.lmk_score_thresh)
+
+    # landmarks: normalized -> ROI px -> full-frame px (:490-497, :468)
+    rw = (roi[:, 2] - roi[:, 0])[:, None]
+    rh = (roi[:, 3] - roi[:, 1])[:, None]
+    pts_full = jnp.stack(
+        [
+            lmk["landmarks"][..., 0] * rw + roi[:, 0:1],
+            lmk["landmarks"][..., 1] * rh + roi[:, 1:2],
+        ],
+        axis=-1,
+    )  # [S, 468, 2]
+
+    affine_update = affine_from_landmarks(
+        pts_full, (fh, fw), (mh, mw), mode=statics.affine_mode
+    )
+    return prior, det_ok, affine_update, lmk_ok, score
+
+
+def make_step(bundle: ModelBundle, statics: PipelineStatics):
+    """Build the jittable step.
+
+    step(params, state, frames_u8 [S,H,W,3], background [S or 1,H,W,3] f32
+    0..1, knobs, face_gate [S] bool) -> (new_state, outputs dict)
+    """
+    mh, mw = statics.mask_hw
+    fh, fw = statics.frame_hw
+
+    def step(params, state: StreamState, frames_u8, background, knobs: PipelineKnobs, face_gate):
+        s = frames_u8.shape[0]
+        frames_f32 = frames_u8.astype(jnp.float32) / 255.0
+
+        # ---- stage 1: preprocess (tf.js resizeBilinear parity, :79-84)
+        small = ops.resize_bilinear(frames_f32, (mh, mw), method="asymmetric")
+
+        # ---- stage 2: matting forward
+        alpha_raw = bundle.matte_model.apply(params["matte"], small)["alpha"]
+        alpha_raw = alpha_raw.astype(jnp.float32)
+
+        # ---- stage 6 (computed early; applied by masks below)
+        if statics.face_path and bundle.face_model is not None:
+            prior, has_prior, affine_update, has_update, det_score = _face_subpath(
+                bundle, params, frames_f32, state, statics, face_gate
+            )
+        else:
+            prior = jnp.zeros((s, mh, mw), jnp.float32)
+            has_prior = jnp.zeros((s,), bool)
+            affine_update = jnp.zeros((s, 6), jnp.float32)
+            has_update = jnp.zeros((s,), bool)
+            det_score = jnp.zeros((s,), jnp.float32)
+
+        # ---- stage 3: motion-compensated warp of prev alpha (:102-112)
+        warped = ops.warp_affine_nearest(state.prev_alpha, state.affine)
+        w_blend = statics.warp_blend_weight
+        use_warp = (state.has_affine & state.initialized)[:, None, None]
+        base = jnp.where(
+            use_warp, warped * w_blend + alpha_raw * (1 - w_blend), alpha_raw
+        )
+
+        # ---- stage 4: temporal EMA (:115)
+        new_prev, a = ops.temporal_ema(state.prev_alpha, base, knobs.ema, state.initialized)
+
+        # ---- stage 5: morphological opening (:118)
+        a = ops.morphological_opening(a)
+
+        # ---- stage 7: prior-gated closing (:157)
+        a = ops.morphological_closing_in_prior(a, prior, has_prior)
+
+        # ---- stage 8: joint bilateral, per-stream toggle (:160-163)
+        guide = small * 255.0  # canvas-u8-scale RGB guide
+        a_bi = ops.joint_bilateral3x3(a, guide, knobs.sigma_spatial, knobs.sigma_range)
+        a = jnp.where(knobs.use_bilateral[:, None, None], a_bi, a)
+
+        # ---- stage 9: threshold/gamma/prior refine (:166)
+        a = ops.refine_alpha(
+            a, knobs.noise_cutoff, knobs.high_threshold, knobs.gamma, prior, has_prior
+        )
+
+        # ---- stage 10: upsample + composite (:169-178 + CSS stacking)
+        if statics.background == "blur":
+            bg = ops.gaussian_blur(frames_f32, statics.bg_blur_sigma)
+        elif statics.background == "color":
+            bg = jnp.broadcast_to(
+                jnp.asarray(statics.bg_color, jnp.float32), frames_f32.shape
+            )
+        else:
+            bg = jnp.broadcast_to(background, frames_f32.shape)
+        out_u8 = ops.alpha_composite(
+            frames_f32,
+            a,
+            background=bg,
+            upsample_method=statics.upsample_method,
+            out_u8=True,
+        )
+
+        # ---- affine low-pass merge for next frame (main.ts:77-94)
+        new_affine, new_has_affine = ops.affine_lowpass(
+            state.affine, affine_update, statics.warp_gain, state.has_affine, has_update
+        )
+
+        new_state = StreamState(
+            prev_alpha=new_prev,
+            affine=new_affine,
+            has_affine=new_has_affine,
+            initialized=jnp.ones_like(state.initialized),
+            frame_idx=state.frame_idx + 1,
+        )
+        outputs = {
+            "frame": out_u8,
+            "alpha": a,
+            "det_score": det_score,
+            "face_applied": has_update,
+        }
+        return new_state, outputs
+
+    return step
+
+
+def segment_once(bundle: ModelBundle, statics: PipelineStatics):
+    """Single-shot `segment(frame) -> mask` (the public surface named in
+    BASELINE.json): preprocess + matting forward, no temporal state."""
+
+    def seg(params, frames_u8):
+        frames_f32 = frames_u8.astype(jnp.float32) / 255.0
+        small = ops.resize_bilinear(frames_f32, statics.mask_hw, method="asymmetric")
+        return bundle.matte_model.apply(params["matte"], small)["alpha"].astype(
+            jnp.float32
+        )
+
+    return seg

@@ -1,0 +1,203 @@
+"""Engine: the stateful multi-stream serving loop.
+
+The TPU-native replacement for the reference's frame-loop orchestrator
+(run()/loop(), client/src/core/main.ts:24-115): instead of one rAF-paced
+stream with a promise mutex, the engine owns S stream slots, batches their
+latest frames into one ``[S, H, W, 3]`` device step, and carries all
+per-stream state (EMA accumulator, affine, cadence counters, knobs,
+backgrounds) as device arrays.
+
+Concurrency policy (SURVEY.md §5 race detection): the reference accepts a
+benign race where the UI mutates `config` mid-frame (script.ts:20-25); here
+that is made explicit -- knob/background updates are staged host-side and
+snapshotted once per step, so a step always sees a consistent config.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_stream_segmenetation_tpu import runtime
+from video_stream_segmenetation_tpu.models.registry import get_spec
+from video_stream_segmenetation_tpu.runtime.config import PipelineStatics
+from video_stream_segmenetation_tpu.service.counters import Counters
+from video_stream_segmenetation_tpu.service.health import EngineHealth, HealthMonitor
+
+
+class Engine:
+    def __init__(
+        self,
+        num_streams: int,
+        statics: PipelineStatics | None = None,
+        bundle: runtime.ModelBundle | None = None,
+        rng_seed: int = 0,
+        donate_state: bool = True,
+    ):
+        self.num_streams = num_streams
+        self.statics = statics or PipelineStatics()
+        if bundle is None:
+            bundle = self._default_bundle(rng_seed)
+        self.bundle = bundle
+        self._step = jax.jit(
+            runtime.make_step(bundle, self.statics),
+            donate_argnums=(1,) if donate_state else (),
+        )
+
+        mh, mw = self.statics.mask_hw
+        fh, fw = self.statics.frame_hw
+        self.state = runtime.init_state(num_streams, (mh, mw))
+        self.knobs = runtime.default_knobs(num_streams)
+        self.backgrounds = jnp.zeros((num_streams, fh, fw, 3), jnp.float32)
+        self._last_face_at = np.zeros((num_streams,), np.float64)
+        self.face_min_interval_s = 0.180  # L_MIN_MS (main.ts:11)
+
+        self.active = np.zeros((num_streams,), bool)
+        self.counters = Counters()
+        self.health = HealthMonitor()
+        self._lock = threading.Lock()
+        self._staged_knobs: list[tuple[int, dict]] = []
+
+    # ---- construction -------------------------------------------------
+    def _default_bundle(self, seed: int) -> runtime.ModelBundle:
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        mh, mw = self.statics.mask_hw
+        from video_stream_segmenetation_tpu import models
+
+        matte = models.MatteNet()
+        matte_p = matte.init(k1, jnp.zeros((1, mh, mw, 3)))
+        face = models.FaceFinder(input_size=self.statics.fd_size)
+        face_p = face.init(
+            k2, jnp.zeros((1, self.statics.fd_size, self.statics.fd_size, 3))
+        )
+        lmk = models.LandmarkNet()
+        lmk_p = lmk.init(
+            k3, jnp.zeros((1, self.statics.lmk_size, self.statics.lmk_size, 3))
+        )
+        return runtime.ModelBundle(matte, matte_p, face, face_p, lmk, lmk_p)
+
+    # ---- stream admission (SURVEY.md §5 failure/recovery) -------------
+    def admit(self) -> int:
+        """Take a free slot; cold-start its state.  Returns the slot id."""
+        with self._lock:
+            free = np.flatnonzero(~self.active)
+            if free.size == 0:
+                raise RuntimeError("engine full: no free stream slots")
+            s = int(free[0])
+            self.active[s] = True
+        self.state = runtime.reset_stream(self.state, s)
+        self._last_face_at[s] = 0.0
+        return s
+
+    def evict(self, slot: int) -> None:
+        with self._lock:
+            self.active[slot] = False
+        self.state = runtime.reset_stream(self.state, slot)
+
+    # ---- live config tier (script.ts slider semantics) ----------------
+    def set_knobs(self, slot: int, **kw) -> None:
+        """Stage per-stream knob updates; applied at the next step
+        boundary (config snapshot per batch, SURVEY.md §5 races)."""
+        with self._lock:
+            self._staged_knobs.append((slot, kw))
+
+    def reset_knobs(self, slot: int) -> None:
+        """Object.assign(config, defaultConfig) equivalent (script.ts:43-46)."""
+        from video_stream_segmenetation_tpu.runtime import config as cfg
+
+        self.set_knobs(
+            slot,
+            ema=cfg.DEFAULT_EMA,
+            noise_cutoff=cfg.DEFAULT_NOISE_CUTOFF,
+            high_threshold=cfg.DEFAULT_HIGH_THRESHOLD,
+            gamma=cfg.DEFAULT_GAMMA,
+            use_bilateral=cfg.DEFAULT_USE_BILATERAL,
+            sigma_spatial=cfg.DEFAULT_BILATERAL_SIGMA_SPATIAL,
+            sigma_range=cfg.DEFAULT_BILATERAL_SIGMA_RANGE,
+        )
+
+    def set_background(self, slot: int, image) -> None:
+        """Set a stream's replacement background (uint8 or float RGB, any
+        size; resized on device once here, cached across steps)."""
+        from video_stream_segmenetation_tpu import ops
+
+        img = jnp.asarray(image)
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        fh, fw = self.statics.frame_hw
+        if img.shape[:2] != (fh, fw):
+            img = ops.resize_bilinear(img, (fh, fw), method="half_pixel")
+        self.backgrounds = self.backgrounds.at[slot].set(img)
+
+    def _apply_staged(self):
+        with self._lock:
+            staged, self._staged_knobs = self._staged_knobs, []
+        for slot, kw in staged:
+            self.knobs = self.knobs.replace_stream(slot, **{
+                k: jnp.asarray(v) for k, v in kw.items()
+            })
+
+    # ---- the serving step ---------------------------------------------
+    def process(self, frames: np.ndarray) -> dict:
+        """One batch step: frames uint8 [S, H, W, 3] (row s ignored for
+        inactive slots).  Returns dict with composited 'frame' [S,H,W,3]
+        u8, 'alpha', and 'metrics'."""
+        t0 = time.perf_counter()
+        self._apply_staged()
+
+        now = time.monotonic()
+        gate = jnp.asarray(
+            (now - self._last_face_at) >= self.face_min_interval_s
+        )
+
+        frames_j = jnp.asarray(frames, dtype=jnp.uint8)
+        degraded = self.health.state is EngineHealth.DEGRADED and not self.health.should_probe
+        if degraded:
+            out_frames = frames_j
+            alpha = jnp.ones((self.num_streams, *self.statics.mask_hw), jnp.float32)
+            applied = np.zeros((self.num_streams,), bool)
+            t1 = t0
+        else:
+            try:
+                t1 = time.perf_counter()
+                new_state, out = self._step(
+                    self.bundle.params, self.state, frames_j,
+                    self.backgrounds, self.knobs, gate,
+                )
+                jax.block_until_ready(out["frame"])
+                self.state = new_state
+                out_frames = out["frame"]
+                alpha = out["alpha"]
+                applied = np.asarray(out["face_applied"])
+                self.health.record_success()
+            except Exception as e:  # graceful per-batch degradation
+                self.health.record_failure(e)
+                # passthrough: input frames unmodified (drop-to-passthrough
+                # on model error, SURVEY.md §5)
+                out_frames = frames_j
+                alpha = jnp.ones((self.num_streams, *self.statics.mask_hw), jnp.float32)
+                applied = np.zeros((self.num_streams,), bool)
+                t1 = t0
+
+        self._last_face_at[applied] = now
+        t2 = time.perf_counter()
+        n_active = int(self.active.sum()) or self.num_streams
+        self.counters.record_step(
+            n_active, (t2 - t1) * 1e3, (t2 - t0) * 1e3
+        )
+        return {
+            "frame": out_frames,
+            "alpha": alpha,
+            "metrics": self.stats(),
+        }
+
+    # ---- observability -------------------------------------------------
+    def stats(self) -> dict:
+        """The counter surface: FPS / latency / total / thread-load
+        (performance.ts contract) + health."""
+        return {**self.counters.snapshot(), "health": self.health.snapshot()}

@@ -1,0 +1,13 @@
+"""Utilities: checkpointing, profiling, logging."""
+
+from video_stream_segmenetation_tpu.utils.checkpoint import (  # noqa: F401
+    restore_engine,
+    restore_params,
+    save_engine,
+    save_params,
+)
+from video_stream_segmenetation_tpu.utils.profiling import (  # noqa: F401
+    device_timer,
+    time_fn,
+    trace,
+)

@@ -1,0 +1,76 @@
+"""Checkpoint / resume (SURVEY.md §5).
+
+The reference's model "checkpoints" are static ONNX files fetched at
+startup (model.ts:12-67); per-stream state is reset on reload.  Here:
+
+* model params save/restore via orbax (service start = checkpoint read);
+* optional stream-state snapshots (for planned restarts; cold start
+  remains the documented recovery path -- zero-init recurrents /
+  first-frame EMA copy).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_params(path: str, params) -> None:
+    """Write a param pytree to ``path`` (directory)."""
+    path = os.path.abspath(path)
+    _checkpointer().save(path, jax.device_get(params))
+
+
+def restore_params(path: str, like=None):
+    """Read a param pytree; ``like`` (a template pytree) restores with
+    matching dtypes/shardings when given."""
+    path = os.path.abspath(path)
+    if like is not None:
+        import orbax.checkpoint as ocp
+
+        return _checkpointer().restore(
+            path, restore_args=ocp.checkpoint_utils.construct_restore_args(like)
+        )
+    return _checkpointer().restore(path)
+
+
+def save_engine(path: str, engine) -> None:
+    """Snapshot an Engine: params + stream state + knobs."""
+    state = {
+        "params": engine.bundle.params,
+        "stream_state": engine.state,
+        "knobs": engine.knobs,
+    }
+    save_params(path, state)
+
+
+def restore_engine(path: str, engine) -> None:
+    """Restore a snapshot into an existing Engine (same geometry)."""
+    restored = restore_params(path)
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu.runtime.config import PipelineKnobs
+    from video_stream_segmenetation_tpu.runtime.state import StreamState
+
+    engine.bundle.matte_params = restored["params"]["matte"]
+    if restored["params"].get("face") is not None:
+        engine.bundle.face_params = restored["params"]["face"]
+    if restored["params"].get("lmk") is not None:
+        engine.bundle.lmk_params = restored["params"]["lmk"]
+    ss = restored["stream_state"]
+    engine.state = StreamState(
+        prev_alpha=jnp.asarray(ss["prev_alpha"]),
+        affine=jnp.asarray(ss["affine"]),
+        has_affine=jnp.asarray(ss["has_affine"]),
+        initialized=jnp.asarray(ss["initialized"]),
+        frame_idx=jnp.asarray(ss["frame_idx"]),
+    )
+    kn = restored["knobs"]
+    engine.knobs = PipelineKnobs(**{k: jnp.asarray(v) for k, v in kn.items()})
