@@ -42,25 +42,42 @@ def main() -> None:
     bgs = engine.backgrounds
     gate = jnp.ones((S,), bool)
 
-    # warmup / compile
-    for _ in range(3):
-        state, out = engine._step(
-            engine.bundle.params, engine.state, frames_dev, bgs, engine.knobs, gate
-        )
-        engine.state = state
-    jax.block_until_ready(out["frame"])
+    # Timing methodology: on this image the TPU is reached through a
+    # tunnel where block_until_ready does not actually wait and host
+    # readback is very slow, so single-step wall-clock is meaningless.
+    # Instead we dispatch N state-chained steps (each step's state input
+    # depends on the previous step, forcing serial device execution) and
+    # synchronize ONCE via a 4-byte scalar readback that depends on the
+    # last step's composited frame; per-step time = (total - RTT) / N.
+    reducer = jax.jit(lambda f: jnp.sum(f[:2, :2, :2, 0].astype(jnp.int32)))
 
-    # steady state timing of the raw device step
-    iters = 20
+    def run_chain(n):
+        state = engine.state
+        for _ in range(n):
+            state, out = engine._step(
+                engine.bundle.params, state, frames_dev, bgs, engine.knobs, gate
+            )
+        return state, out
+
+    # warmup / compile
+    state, out = run_chain(2)
+    _ = np.asarray(reducer(out["frame"]))
+
+    # RTT floor of the sync path
+    t0 = time.perf_counter()
+    _ = np.asarray(reducer(out["frame"]))  # already materialized
+    rtt_ms = (time.perf_counter() - t0) * 1e3
+
+    n = 30
+    reps = 3
     samples = []
-    for _ in range(iters):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        state, out = engine._step(
-            engine.bundle.params, engine.state, frames_dev, bgs, engine.knobs, gate
-        )
-        engine.state = state
-        jax.block_until_ready(out["frame"])
-        samples.append((time.perf_counter() - t0) * 1e3)
+        state, out = run_chain(n)
+        _ = np.asarray(reducer(out["frame"]))
+        total_ms = (time.perf_counter() - t0) * 1e3
+        samples.append(max(total_ms - rtt_ms, 0.0) / n)
+    engine.state = state
 
     samples.sort()
     p50 = samples[len(samples) // 2]
@@ -79,6 +96,8 @@ def main() -> None:
             "step_ms_min": round(samples[0], 2),
             "per_frame_latency_ms_p50": round(p50, 2),
             "latency_target_ms": 8.0,
+            "sync_rtt_ms": round(rtt_ms, 2),
+            "chained_steps": n,
             "device": str(jax.devices()[0]),
         },
     }

@@ -1,0 +1,65 @@
+"""Pallas fused kernels vs the pure-XLA ops chain (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from video_stream_segmenetation_tpu import ops
+from video_stream_segmenetation_tpu.kernels.refine_fused import fused_refine
+
+S, H, W = 2, 24, 128  # W multiple of 128 lanes; H multiple of 8
+
+
+def _reference_chain(alpha, guide, prior, low, high, gamma, use_bi, ss, sr, has_prior):
+    a = ops.morphological_opening(alpha)
+    a = ops.morphological_closing_in_prior(a, prior, has_prior)
+    a_bi = ops.joint_bilateral3x3(a, guide, ss, sr)
+    a = jnp.where(use_bi[:, None, None], a_bi, a)
+    return ops.refine_alpha(a, low, high, gamma, prior, has_prior)
+
+
+@pytest.fixture
+def inputs(rng):
+    alpha = jnp.asarray(rng.random((S, H, W), dtype=np.float32))
+    guide = jnp.asarray((rng.random((S, H, W, 3)) * 255).astype(np.float32))
+    prior = ops.face_prior_mask(
+        jnp.asarray([[30.0, 20.0, 90.0, 70.0]] * S), (96, 160), (H, W)
+    )
+    return alpha, guide, prior
+
+
+def test_fused_matches_ops_chain(inputs):
+    alpha, guide, prior = inputs
+    low = jnp.full((S,), 0.06)
+    high = jnp.full((S,), 0.95)
+    gamma = jnp.full((S,), 0.4)
+    use_bi = jnp.asarray([True, False])
+    ss = jnp.full((S,), 1.0)
+    sr = jnp.full((S,), 12.0)
+    has_prior = jnp.asarray([True, False])
+
+    expect = _reference_chain(alpha, guide, prior, low, high, gamma, use_bi, ss, sr, has_prior)
+    got = fused_refine(
+        alpha, guide, prior, low, high, gamma, use_bi, ss, sr, has_prior,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_per_stream_knobs(inputs):
+    alpha, guide, prior = inputs
+    low = jnp.asarray([0.02, 0.2])
+    high = jnp.asarray([0.9, 0.99])
+    gamma = jnp.asarray([0.4, 1.8])
+    use_bi = jnp.asarray([True, True])
+    ss = jnp.asarray([0.8, 1.4])
+    sr = jnp.asarray([8.0, 20.0])
+    has_prior = jnp.asarray([False, True])
+
+    expect = _reference_chain(alpha, guide, prior, low, high, gamma, use_bi, ss, sr, has_prior)
+    got = fused_refine(
+        alpha, guide, prior, low, high, gamma, use_bi, ss, sr, has_prior,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=2e-5, atol=2e-5)

@@ -1,0 +1,58 @@
+"""Stream scheduler: staggered cadence, ingestion, ticking."""
+
+import numpy as np
+import pytest
+
+from video_stream_segmenetation_tpu import runtime
+from video_stream_segmenetation_tpu.service import Engine
+from video_stream_segmenetation_tpu.runtime.scheduler import StreamScheduler
+
+FRAME_HW = (48, 64)
+MASK_HW = (32, 64)
+
+
+@pytest.fixture()
+def sched():
+    statics = runtime.PipelineStatics(
+        frame_hw=FRAME_HW, mask_hw=MASK_HW, fd_size=64, lmk_size=48,
+        background="color", face_path=False,
+    )
+    eng = Engine(num_streams=4, statics=statics, donate_state=False)
+    s = StreamScheduler(eng, use_native_pool=True)
+    yield s
+    s.stop()
+
+
+def test_staggered_phases(sched):
+    slots = [sched.admit() for _ in range(4)]
+    idx = np.asarray(sched.engine.state.frame_idx)
+    interval = sched.engine.statics.lmk_interval
+    assert sorted(idx[slots].tolist()) == sorted(s % interval for s in slots)
+
+
+def test_push_and_step(sched, rng):
+    slots = [sched.admit() for _ in range(2)]
+    for s in slots:
+        sched.push_frame(s, (rng.random((*FRAME_HW, 3)) * 255).astype(np.uint8))
+    seen = []
+    sched.on_batch = lambda out, ids: seen.append((np.asarray(out["frame"]).shape, ids))
+    out = sched.step()
+    assert out["frame"].shape == (4, *FRAME_HW, 3)
+    assert len(seen) == 1
+    shape, ids = seen[0]
+    assert shape == (4, *FRAME_HW, 3)
+    if ids is not None:
+        assert ids[slots[0]] == 1 and ids[slots[1]] == 1
+
+
+def test_run_and_stop(sched, rng):
+    sched.admit()
+    sched.push_frame(0, (rng.random((*FRAME_HW, 3)) * 255).astype(np.uint8))
+    sched.step()  # compile before timing the thread
+    sched.tick_s = 0.01
+    sched.start()
+    import time
+
+    time.sleep(0.5)
+    sched.stop()
+    assert sched.ticks >= 2

@@ -1,0 +1,221 @@
+"""Fused mask-refinement Pallas kernel.
+
+Fuses the post-model refinement chain -- morphological opening (erode +
+dilate), prior-gated closing (dilate + erode), joint bilateral 3x3, and
+threshold/gamma/prior refine (reference stages 5/7/8/9,
+client/src/core/frameProcessorTest.ts:118,157,160-166) -- into ONE kernel:
+five HBM-bound stencil passes become one VMEM-resident program per stream.
+
+Design (per pallas_guide.md):
+* grid = (S,): one program per stream; a whole 288x512 f32 mask plane is
+  576 KB, guide 3 planes 1.7 MB, prior 576 KB, ~2 scratch planes -- all
+  comfortably inside the ~16 MB VMEM budget, so no spatial tiling / halo
+  exchange is needed.
+* per-stream live knobs ride in SMEM as (1, 1) scalar blocks (tier-2
+  config -- changing them never recompiles).
+* W = 512 = 4 x 128 lanes, H = 288 = 36 x 8 sublanes: natively tiled f32.
+* all stencils are value-level shifted-slice min/max/madd on the VPU;
+  border semantics match ops/morphology.py exactly (interior-only writes,
+  zero borders) and the bilateral self-normalizes at edges via validity
+  accumulation.
+
+Numerics are pinned against the pure-XLA ops (tests/test_kernels.py); the
+pipeline can swap this in for the jnp chain via `use_fused_refine`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_stream_segmenetation_tpu.ops.refine import (
+    FACE_FLOOR,
+    NEAR_BG_BLEND,
+    NEAR_BG_CAP,
+)
+
+
+def _min3x3_interior(a: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] -> [H-2, W-2] windowed min (clamped to <= 1 by caller)."""
+    h, w = a.shape
+    m = None
+    for dy in range(3):
+        for dx in range(3):
+            s = a[dy : h - 2 + dy, dx : w - 2 + dx]
+            m = s if m is None else jnp.minimum(m, s)
+    return m
+
+
+def _max3x3_interior(a: jnp.ndarray) -> jnp.ndarray:
+    h, w = a.shape
+    m = None
+    for dy in range(3):
+        for dx in range(3):
+            s = a[dy : h - 2 + dy, dx : w - 2 + dx]
+            m = s if m is None else jnp.maximum(m, s)
+    return m
+
+
+def _interior_only(x_interior: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Embed an interior plane into a zero-bordered [H, W] plane."""
+    return jnp.zeros((h, w), x_interior.dtype).at[1 : h - 1, 1 : w - 1].set(x_interior)
+
+
+def _refine_kernel(
+    # scalar (SMEM) refs, one per stream
+    ema_ref,  # unused here (EMA applied outside); kept for symmetry
+    low_ref,
+    high_ref,
+    gamma_ref,
+    use_bi_ref,
+    ss_ref,
+    sr_ref,
+    has_prior_ref,
+    # tensor (VMEM) refs
+    alpha_ref,  # [1, H, W]
+    guide_ref,  # [1, 3, H, W] in 0..255 units
+    prior_ref,  # [1, H, W]
+    out_ref,  # [1, H, W]
+):
+    h, w = alpha_ref.shape[1], alpha_ref.shape[2]
+    a = alpha_ref[0]
+    prior = prior_ref[0]
+    has_prior = has_prior_ref[0, 0] > 0
+
+    # ---- stage 5: opening (interior-only, zero borders; morphology.py)
+    eroded = _interior_only(jnp.minimum(_min3x3_interior(a), 1.0), h, w)
+    opened = _interior_only(jnp.maximum(_max3x3_interior(eroded), 0.0), h, w)
+
+    # ---- stage 7: closing inside the prior
+    in_prior = prior > 0
+    dil = jnp.maximum(_max3x3_interior(opened), 0.0)
+    dilated = _interior_only(
+        jnp.where(in_prior[1 : h - 1, 1 : w - 1], dil, opened[1 : h - 1, 1 : w - 1]),
+        h,
+        w,
+    )
+    ero = jnp.minimum(_min3x3_interior(dilated), 1.0)
+    closed = _interior_only(
+        jnp.where(in_prior[1 : h - 1, 1 : w - 1], ero, dilated[1 : h - 1, 1 : w - 1]),
+        h,
+        w,
+    )
+    a = jnp.where(has_prior, closed, opened)
+
+    # ---- stage 8: joint bilateral 3x3 (self-normalizing at edges)
+    ss = ss_ref[0, 0]
+    sr = sr_ref[0, 0]
+    inv_two_ss2 = 1.0 / (2.0 * ss * ss)
+    inv_two_sr2 = 1.0 / (2.0 * sr * sr)
+    g_r = guide_ref[0, 0]
+    g_g = guide_ref[0, 1]
+    g_b = guide_ref[0, 2]
+
+    sum_w = jnp.ones((h, w), jnp.float32)  # center tap: exp(0)*exp(0)
+    sum_a = a
+
+    def tap(dy, dx, sum_w, sum_a):
+        # overlapping region where the neighbor exists
+        oy0, oy1 = max(0, -dy), h - max(0, dy)
+        ox0, ox1 = max(0, -dx), w - max(0, dx)
+        iy0, iy1 = oy0 + dy, oy1 + dy
+        ix0, ix1 = ox0 + dx, ox1 + dx
+        dr = g_r[iy0:iy1, ix0:ix1] - g_r[oy0:oy1, ox0:ox1]
+        dg = g_g[iy0:iy1, ix0:ix1] - g_g[oy0:oy1, ox0:ox1]
+        db = g_b[iy0:iy1, ix0:ix1] - g_b[oy0:oy1, ox0:ox1]
+        range2 = dr * dr + dg * dg + db * db
+        spatial2 = jnp.float32(dy * dy + dx * dx)
+        wgt = jnp.exp(-spatial2 * inv_two_ss2) * jnp.exp(-range2 * inv_two_sr2)
+        sum_w = sum_w.at[oy0:oy1, ox0:ox1].add(wgt)
+        sum_a = sum_a.at[oy0:oy1, ox0:ox1].add(wgt * a[iy0:iy1, ix0:ix1])
+        return sum_w, sum_a
+
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            sum_w, sum_a = tap(dy, dx, sum_w, sum_a)
+    a_bi = sum_a / sum_w
+    a = jnp.where(use_bi_ref[0, 0] > 0, a_bi, a)
+
+    # ---- stage 9: threshold/gamma + prior clamps (refine.py)
+    low = low_ref[0, 0]
+    high = high_ref[0, 0]
+    gamma = gamma_ref[0, 0]
+    denom = jnp.maximum(1e-6, high - low)
+    t = jnp.clip((a - low) / denom, 0.0, 1.0)
+    mid = jnp.exp(gamma * jnp.log(jnp.maximum(t, 1e-30)))
+    v = jnp.where(a <= low, 0.0, jnp.where(a >= high, 1.0, mid))
+    floor = jnp.minimum(1.0, FACE_FLOOR * prior + 0.15)
+    cap = NEAR_BG_CAP + NEAR_BG_BLEND * prior
+    clamped = jnp.where(
+        prior > 0.25, jnp.maximum(v, floor), jnp.where(prior > 0, jnp.minimum(v, cap), v)
+    )
+    out_ref[0] = jnp.where(has_prior, clamped, v)
+
+
+def fused_refine(
+    alpha: jnp.ndarray,  # [S, H, W] f32 (post warp+EMA)
+    guide: jnp.ndarray,  # [S, H, W, 3] in 0..255 units
+    prior: jnp.ndarray,  # [S, H, W]
+    knobs_low: jnp.ndarray,  # [S]
+    knobs_high: jnp.ndarray,
+    knobs_gamma: jnp.ndarray,
+    knobs_use_bilateral: jnp.ndarray,  # [S] bool
+    knobs_ss: jnp.ndarray,
+    knobs_sr: jnp.ndarray,
+    has_prior: jnp.ndarray,  # [S] bool
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """One fused pass over all streams.  Returns refined alpha [S, H, W].
+
+    interpret=None auto-selects: compiled on TPU, interpreter elsewhere
+    (the CPU test backend), mirroring the reference's EP fallback stance.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, h, w = alpha.shape
+    guide_chw = jnp.transpose(guide, (0, 3, 1, 2)).astype(jnp.float32)
+
+    def smem_spec():
+        return pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
+
+    def col(x, dtype=jnp.float32):
+        return jnp.asarray(x, dtype).reshape(s, 1)
+
+    return pl.pallas_call(
+        _refine_kernel,
+        grid=(s,),
+        in_specs=[
+            smem_spec(),  # ema (unused)
+            smem_spec(),  # low
+            smem_spec(),  # high
+            smem_spec(),  # gamma
+            smem_spec(),  # use_bilateral
+            smem_spec(),  # sigma_spatial
+            smem_spec(),  # sigma_range
+            smem_spec(),  # has_prior
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, h, w), jnp.float32),
+        interpret=interpret,
+    )(
+        col(jnp.zeros((s,))),
+        col(knobs_low),
+        col(knobs_high),
+        col(knobs_gamma),
+        col(knobs_use_bilateral, jnp.int32),
+        col(knobs_ss),
+        col(knobs_sr),
+        col(has_prior, jnp.int32),
+        alpha.astype(jnp.float32),
+        guide_chw,
+        prior.astype(jnp.float32),
+    )

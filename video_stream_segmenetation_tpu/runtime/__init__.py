@@ -16,3 +16,4 @@ from video_stream_segmenetation_tpu.runtime.pipeline import (  # noqa: F401
     make_step,
     segment_once,
 )
+from video_stream_segmenetation_tpu.runtime.scheduler import StreamScheduler  # noqa: F401

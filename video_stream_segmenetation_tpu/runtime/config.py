@@ -98,3 +98,4 @@ class PipelineStatics:
     upsample_method: str = "half_pixel"
     compute_dtype: Any = jnp.bfloat16
     face_path: bool = True  # disable to skip FD/LMK entirely
+    use_fused_refine: bool = False  # Pallas fused stencil chain (TPU)

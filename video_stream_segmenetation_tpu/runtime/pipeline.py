@@ -175,21 +175,32 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         # ---- stage 4: temporal EMA (:115)
         new_prev, a = ops.temporal_ema(state.prev_alpha, base, knobs.ema, state.initialized)
 
-        # ---- stage 5: morphological opening (:118)
-        a = ops.morphological_opening(a)
-
-        # ---- stage 7: prior-gated closing (:157)
-        a = ops.morphological_closing_in_prior(a, prior, has_prior)
-
-        # ---- stage 8: joint bilateral, per-stream toggle (:160-163)
         guide = small * 255.0  # canvas-u8-scale RGB guide
-        a_bi = ops.joint_bilateral3x3(a, guide, knobs.sigma_spatial, knobs.sigma_range)
-        a = jnp.where(knobs.use_bilateral[:, None, None], a_bi, a)
+        if statics.use_fused_refine:
+            # stages 5/7/8/9 in one VMEM-resident Pallas kernel
+            from video_stream_segmenetation_tpu.kernels.refine_fused import fused_refine
 
-        # ---- stage 9: threshold/gamma/prior refine (:166)
-        a = ops.refine_alpha(
-            a, knobs.noise_cutoff, knobs.high_threshold, knobs.gamma, prior, has_prior
-        )
+            a = fused_refine(
+                a, guide, prior,
+                knobs.noise_cutoff, knobs.high_threshold, knobs.gamma,
+                knobs.use_bilateral, knobs.sigma_spatial, knobs.sigma_range,
+                has_prior,
+            )
+        else:
+            # ---- stage 5: morphological opening (:118)
+            a = ops.morphological_opening(a)
+
+            # ---- stage 7: prior-gated closing (:157)
+            a = ops.morphological_closing_in_prior(a, prior, has_prior)
+
+            # ---- stage 8: joint bilateral, per-stream toggle (:160-163)
+            a_bi = ops.joint_bilateral3x3(a, guide, knobs.sigma_spatial, knobs.sigma_range)
+            a = jnp.where(knobs.use_bilateral[:, None, None], a_bi, a)
+
+            # ---- stage 9: threshold/gamma/prior refine (:166)
+            a = ops.refine_alpha(
+                a, knobs.noise_cutoff, knobs.high_threshold, knobs.gamma, prior, has_prior
+            )
 
         # ---- stage 10: upsample + composite (:169-178 + CSS stacking)
         if statics.background == "blur":

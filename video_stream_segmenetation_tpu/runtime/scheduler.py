@@ -1,0 +1,115 @@
+"""Host-side stream scheduler: the serving loop around the device step.
+
+Replaces the reference's rAF loop + promise mutex + landmark cadence gates
+(client/src/core/main.ts:18-22,52-64) for the many-stream case:
+
+* frames arrive per stream (from the native FramePool rings or direct
+  pushes) and are batched at a fixed tick;
+* face-model cadence is **staggered** across streams: stream s gets
+  initial frame phase ``s % lmk_interval``, so each step only
+  ~S/interval streams hit their `frameIdx % interval == 0` gate instead
+  of a thundering herd (the batched generalization of main.ts:55-64);
+* the per-stream min-interval ms gate (L_MIN_MS) lives in the Engine;
+* JAX async dispatch gives the double-buffering: while the device chews
+  step N, the host assembles batch N+1 (the reference's implicit CPU/GPU
+  pipelining, made explicit).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable
+
+import numpy as np
+
+from video_stream_segmenetation_tpu.service.engine import Engine
+
+
+class StreamScheduler:
+    def __init__(
+        self,
+        engine: Engine,
+        use_native_pool: bool = True,
+        tick_hz: float = 30.0,
+    ):
+        self.engine = engine
+        self.tick_s = 1.0 / tick_hz
+        fh, fw = engine.statics.frame_hw
+        self.pool = None
+        if use_native_pool:
+            try:
+                from video_stream_segmenetation_tpu.runtime.native import FramePool
+
+                self.pool = FramePool(engine.num_streams, fh, fw)
+            except Exception:
+                self.pool = None  # fall back to host-side arrays
+        self._frames = np.zeros((engine.num_streams, fh, fw, 3), np.uint8)
+        self._running = False
+        self._thread: threading.Thread | None = None
+        self.on_batch: Callable[[dict, np.ndarray], None] | None = None
+        self.ticks = 0
+
+    # ---- stream lifecycle with staggered cadence ----------------------
+    def admit(self) -> int:
+        slot = self.engine.admit()
+        interval = self.engine.statics.lmk_interval
+        phase = slot % interval
+        # stagger: initial frame_idx = phase, so cadence (idx % interval
+        # == 0) fires for ~S/interval streams per step
+        self.engine.state.frame_idx = (
+            self.engine.state.frame_idx.at[slot].set(phase)
+        )
+        return slot
+
+    def evict(self, slot: int) -> None:
+        self.engine.evict(slot)
+
+    # ---- frame ingestion ----------------------------------------------
+    def push_frame(self, slot: int, frame: np.ndarray) -> None:
+        if self.pool is not None:
+            self.pool.push_rgb(slot, frame)
+        else:
+            self._frames[slot] = frame
+
+    def push_i420(self, slot: int, y, u, v) -> None:
+        if self.pool is None:
+            raise RuntimeError("native pool unavailable")
+        self.pool.push_i420(slot, y, u, v)
+
+    # ---- the tick ------------------------------------------------------
+    def step(self) -> dict:
+        """Assemble the freshest frames and run one engine step."""
+        if self.pool is not None:
+            batch, ids = self.pool.assemble()
+        else:
+            batch, ids = self._frames, None
+        out = self.engine.process(batch)
+        self.ticks += 1
+        if self.on_batch is not None:
+            self.on_batch(out, ids)
+        return out
+
+    def run_forever(self) -> None:
+        self._running = True
+        next_t = time.monotonic()
+        while self._running:
+            self.step()
+            next_t += self.tick_s
+            delay = next_t - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+            else:
+                next_t = time.monotonic()  # fell behind; don't spiral
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.run_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+        if self.pool is not None:
+            self.pool.close()

@@ -11,3 +11,12 @@ from video_stream_segmenetation_tpu.utils.profiling import (  # noqa: F401
     time_fn,
     trace,
 )
+from video_stream_segmenetation_tpu.utils.clips import (  # noqa: F401
+    SyntheticClip,
+    load_reference_masks,
+    mask_iou,
+    parity_report,
+    run_clip_through_engine,
+    synthetic_clip,
+    temporal_stability,
+)
