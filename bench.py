@@ -25,20 +25,36 @@ TARGET_FPS = 30.0
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from video_stream_segmenetation_tpu import runtime
     from video_stream_segmenetation_tpu.service.engine import Engine
 
     S = TARGET_STREAMS
-    statics = runtime.PipelineStatics()  # 720p frames, 288x512 mask
+    # the TPU-first fast configuration (see ARCHITECTURE.md):
+    # 720p-native MatteNetHD stem (no preprocess resize), u8-nearest guide,
+    # separable warp, cadence-compacted face path
+    statics = runtime.PipelineStatics(
+        matting_input="native",
+        guide_impl="nearest_u8",
+        warp_impl="separable",
+        face_compact=True,
+    )
     engine = Engine(num_streams=S, statics=statics, donate_state=False)
     for _ in range(S):
         engine.admit()
 
-    rng = np.random.default_rng(0)
-    frames = (rng.random((S, *statics.frame_hw, 3)) * 255).astype(np.uint8)
-    frames_dev = jax.device_put(jnp.asarray(frames))
+    # Generate frames ON DEVICE: the axon tunnel's host->device path is
+    # ~1 MB/s, so a 176 MB host batch would dominate the run.
+    key = jax.random.PRNGKey(0)
+    frames_dev = jax.jit(
+        lambda k: (jax.random.uniform(k, (S, *statics.frame_hw, 3)) * 255).astype(
+            jnp.uint8
+        )
+    )(key)
     bgs = engine.backgrounds
     gate = jnp.ones((S,), bool)
 

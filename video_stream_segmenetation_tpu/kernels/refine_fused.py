@@ -66,8 +66,7 @@ def _interior_only(x_interior: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 def _refine_kernel(
-    # scalar (SMEM) refs, one per stream
-    ema_ref,  # unused here (EMA applied outside); kept for symmetry
+    # scalar-prefetch refs: full [S] arrays in SMEM, indexed by program id
     low_ref,
     high_ref,
     gamma_ref,
@@ -81,10 +80,11 @@ def _refine_kernel(
     prior_ref,  # [1, H, W]
     out_ref,  # [1, H, W]
 ):
+    i = pl.program_id(0)
     h, w = alpha_ref.shape[1], alpha_ref.shape[2]
     a = alpha_ref[0]
     prior = prior_ref[0]
-    has_prior = has_prior_ref[0, 0] > 0
+    has_prior = has_prior_ref[i] > 0
 
     # ---- stage 5: opening (interior-only, zero borders; morphology.py)
     eroded = _interior_only(jnp.minimum(_min3x3_interior(a), 1.0), h, w)
@@ -107,8 +107,8 @@ def _refine_kernel(
     a = jnp.where(has_prior, closed, opened)
 
     # ---- stage 8: joint bilateral 3x3 (self-normalizing at edges)
-    ss = ss_ref[0, 0]
-    sr = sr_ref[0, 0]
+    ss = ss_ref[i]
+    sr = sr_ref[i]
     inv_two_ss2 = 1.0 / (2.0 * ss * ss)
     inv_two_sr2 = 1.0 / (2.0 * sr * sr)
     g_r = guide_ref[0, 0]
@@ -140,12 +140,12 @@ def _refine_kernel(
                 continue
             sum_w, sum_a = tap(dy, dx, sum_w, sum_a)
     a_bi = sum_a / sum_w
-    a = jnp.where(use_bi_ref[0, 0] > 0, a_bi, a)
+    a = jnp.where(use_bi_ref[i] > 0, a_bi, a)
 
     # ---- stage 9: threshold/gamma + prior clamps (refine.py)
-    low = low_ref[0, 0]
-    high = high_ref[0, 0]
-    gamma = gamma_ref[0, 0]
+    low = low_ref[i]
+    high = high_ref[i]
+    gamma = gamma_ref[i]
     denom = jnp.maximum(1e-6, high - low)
     t = jnp.clip((a - low) / denom, 0.0, 1.0)
     mid = jnp.exp(gamma * jnp.log(jnp.maximum(t, 1e-30)))
@@ -181,40 +181,30 @@ def fused_refine(
     s, h, w = alpha.shape
     guide_chw = jnp.transpose(guide, (0, 3, 1, 2)).astype(jnp.float32)
 
-    def smem_spec():
-        return pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
-
-    def col(x, dtype=jnp.float32):
-        return jnp.asarray(x, dtype).reshape(s, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0)),
+    )
 
     return pl.pallas_call(
         _refine_kernel,
-        grid=(s,),
-        in_specs=[
-            smem_spec(),  # ema (unused)
-            smem_spec(),  # low
-            smem_spec(),  # high
-            smem_spec(),  # gamma
-            smem_spec(),  # use_bilateral
-            smem_spec(),  # sigma_spatial
-            smem_spec(),  # sigma_range
-            smem_spec(),  # has_prior
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, h, w), jnp.float32),
         interpret=interpret,
     )(
-        col(jnp.zeros((s,))),
-        col(knobs_low),
-        col(knobs_high),
-        col(knobs_gamma),
-        col(knobs_use_bilateral, jnp.int32),
-        col(knobs_ss),
-        col(knobs_sr),
-        col(has_prior, jnp.int32),
+        jnp.asarray(knobs_low, jnp.float32),
+        jnp.asarray(knobs_high, jnp.float32),
+        jnp.asarray(knobs_gamma, jnp.float32),
+        jnp.asarray(knobs_use_bilateral, jnp.int32),
+        jnp.asarray(knobs_ss, jnp.float32),
+        jnp.asarray(knobs_sr, jnp.float32),
+        jnp.asarray(has_prior, jnp.int32),
         alpha.astype(jnp.float32),
         guide_chw,
         prior.astype(jnp.float32),

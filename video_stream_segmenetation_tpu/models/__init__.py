@@ -2,6 +2,7 @@
 (SURVEY.md section 2.7), NHWC + bf16, batched over a stream axis."""
 
 from video_stream_segmenetation_tpu.models.modnet import MatteNet  # noqa: F401
+from video_stream_segmenetation_tpu.models.mattenet_hd import MatteNetHD  # noqa: F401
 from video_stream_segmenetation_tpu.models.blazeface import FaceFinder  # noqa: F401
 from video_stream_segmenetation_tpu.models.facemesh import LandmarkNet, NUM_LANDMARKS  # noqa: F401
 from video_stream_segmenetation_tpu.models.rvm import (  # noqa: F401

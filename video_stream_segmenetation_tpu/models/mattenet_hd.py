@@ -1,0 +1,111 @@
+"""MatteNetHD: the 720p-native, MXU-dense flagship matting network.
+
+Profiling on TPU v5e (tools/bench_components.py) showed the original
+pipeline spent 49 ms/batch on the 720p->288x512 gather resize and 23 ms
+on a MobileNet-style MatteNet whose depthwise convs and 8-24 channel
+layers reach ~5% of MXU peak.  This redesign is the TPU-first answer:
+
+* **No host-style preprocess at all**: the network ingests the uint8
+  720p frame directly; a 5x5 stride-5 conv stem performs the learned
+  downsample 720x1280 -> 144x256 (the resize the reference only does
+  because its ONNX model demands a 288x512 input,
+  client/src/core/frameProcessorTest.ts:79-84, becomes a conv that the
+  MXU executes at full tilt).
+* **Dense 3x3 convolutions** with channel widths 32-256 (MXU-tile
+  friendly) instead of depthwise blocks (VPU-bound on TPU).
+* bf16 compute, NHWC, SE attention at the deep stages, dilated context
+  block at /16 (the e-ASPP role).
+* Output: alpha at 288x512 (the reference mask contract) -- i.e. 2x the
+  stem resolution -- plus the MODNet-style aux outputs for training.
+
+FLOP budget ~9 GFLOP/frame at 720p (MODNet-class capacity), laid out so
+the batch-64 forward lands on the MXU as a handful of large matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from video_stream_segmenetation_tpu.models.backbones import ConvBN, SEBlock, nearest_x2
+
+
+class _Block(nn.Module):
+    """Dense residual conv block: 3x3 -> 3x3 with SE option."""
+
+    features: int
+    use_se: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = ConvBN(self.features, dtype=self.dtype)(x, train)
+        h = ConvBN(self.features, act=False, dtype=self.dtype)(h, train)
+        if self.use_se:
+            h = SEBlock(dtype=self.dtype)(h)
+        if x.shape[-1] == self.features:
+            h = h + x
+        return nn.relu6(h)
+
+
+class MatteNetHD(nn.Module):
+    """uint8/float [S, 720, 1280, 3] -> alpha [S, 288, 512] (float32)."""
+
+    width: float = 1.0
+    num_classes: int = 1
+    stem_stride: int = 5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.dtype == jnp.uint8:
+            x = x.astype(self.dtype) / 255.0
+        else:
+            x = x.astype(self.dtype)
+
+        def c(n):
+            return max(16, int(n * self.width) // 16 * 16)
+
+        ss = self.stem_stride
+        # stem: learned downsample (720p/5 = 144x256)
+        x0 = ConvBN(c(32), (ss, ss), strides=(ss, ss), dtype=self.dtype)(x, train)
+
+        d1 = ConvBN(c(64), strides=(2, 2), dtype=self.dtype)(x0, train)  # 72x128
+        d1 = _Block(c(64), dtype=self.dtype)(d1, train)
+        d2 = ConvBN(c(128), strides=(2, 2), dtype=self.dtype)(d1, train)  # 36x64
+        d2 = _Block(c(128), use_se=True, dtype=self.dtype)(d2, train)
+        d3 = ConvBN(c(256), strides=(2, 2), dtype=self.dtype)(d2, train)  # 18x32
+        d3 = _Block(c(256), use_se=True, dtype=self.dtype)(d3, train)
+
+        # context (e-ASPP role): dilated 3x3 pyramid at /16-of-mask res
+        ctx = ConvBN(c(256), dilation=(2, 2), dtype=self.dtype)(d3, train)
+        ctx = ConvBN(c(256), dilation=(4, 4), act=False, dtype=self.dtype)(ctx, train)
+        ctx = SEBlock(dtype=self.dtype)(nn.relu6(ctx + d3))
+        sem_logit = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(ctx)
+
+        # decoder with skips
+        u2 = nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
+        u2 = ConvBN(c(128), dtype=self.dtype)(jnp.concatenate([u2, d2], axis=-1), train)  # 36x64
+        u1 = nearest_x2(u2)[..., : d1.shape[-3], : d1.shape[-2], :]
+        u1 = ConvBN(c(64), dtype=self.dtype)(jnp.concatenate([u1, d1], axis=-1), train)  # 72x128
+        det_logit = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(u1)
+
+        u0 = nearest_x2(u1)[..., : x0.shape[-3], : x0.shape[-2], :]
+        u0 = ConvBN(c(32), dtype=self.dtype)(jnp.concatenate([u0, x0], axis=-1), train)  # 144x256
+        # final 2x to the mask contract (288x512) + light refine
+        uf = nearest_x2(u0)
+        uf = ConvBN(16, dtype=self.dtype)(uf, train)
+        alpha_logit = nn.Conv(self.num_classes, (3, 3), padding="SAME", dtype=self.dtype)(uf)
+
+        if self.num_classes == 1:
+            alpha = nn.sigmoid(alpha_logit.astype(jnp.float32))[..., 0]
+            sem = nn.sigmoid(sem_logit.astype(jnp.float32))[..., 0]
+            det = det_logit.astype(jnp.float32)[..., 0]
+        else:
+            alpha = nn.softmax(alpha_logit.astype(jnp.float32), axis=-1)
+            sem = nn.softmax(sem_logit.astype(jnp.float32), axis=-1)
+            det = det_logit.astype(jnp.float32)
+
+        return {"alpha": alpha, "semantic": sem, "detail": det}

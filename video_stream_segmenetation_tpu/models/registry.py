@@ -47,6 +47,7 @@ class ModelSpec:
 def _specs():
     from video_stream_segmenetation_tpu.models.blazeface import FaceFinder
     from video_stream_segmenetation_tpu.models.facemesh import LandmarkNet
+    from video_stream_segmenetation_tpu.models.mattenet_hd import MatteNetHD
     from video_stream_segmenetation_tpu.models.modnet import MatteNet
     from video_stream_segmenetation_tpu.models.rvm import RecurrentMatteNet
     from video_stream_segmenetation_tpu.models.u2net import SaliencyNet
@@ -54,6 +55,9 @@ def _specs():
     return {
         # flagship matting net (role of model_q4f16.onnx, main.ts:6)
         "mattenet": ModelSpec("mattenet", MatteNet, (288, 512)),
+        # 720p-native fast flagship (TPU-first: strided-conv stem does the
+        # resize; see models/mattenet_hd.py)
+        "mattenet_hd": ModelSpec("mattenet_hd", MatteNetHD, (720, 1280)),
         # multi-class segmentation variant (BASELINE.json config 5)
         "mattenet_multiclass": ModelSpec(
             "mattenet_multiclass", MatteNet, (288, 512), {"num_classes": 4}

@@ -8,6 +8,7 @@ each docstring) and covered by NumPy-oracle golden tests in tests/.
 
 from video_stream_segmenetation_tpu.ops.resize import (  # noqa: F401
     resize_bilinear,
+    resize_bilinear_mxu,
     resize_nearest,
     crop_and_resize,
 )
@@ -32,6 +33,7 @@ from video_stream_segmenetation_tpu.ops.bilateral import joint_bilateral3x3  # n
 from video_stream_segmenetation_tpu.ops.warp import (  # noqa: F401
     invert_affine,
     warp_affine_nearest,
+    warp_affine_separable,
     warp_translate,
 )
 from video_stream_segmenetation_tpu.ops.refine import refine_alpha  # noqa: F401

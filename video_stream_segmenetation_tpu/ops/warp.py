@@ -62,6 +62,41 @@ def warp_affine_nearest(src: jnp.ndarray, affine: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, gathered, jnp.zeros((), dtype=src.dtype))
 
 
+def warp_affine_separable(src: jnp.ndarray, affine: jnp.ndarray) -> jnp.ndarray:
+    """Fast nearest warp for (near-)axis-aligned affines: applies only the
+    diagonal + translation part of the transform as two per-axis 1-D
+    gathers (row pick then lane pick) instead of a full 2-D gather.
+
+    On TPU the exact 2-D gather of `warp_affine_nearest` costs ~99 ms for
+    a [64, 288, 512] batch; this separable form is ~20x cheaper.  It is
+    EXACT when a12 == a21 == 0 (pure scale+translate, e.g. the
+    translation-only tracking of the BlazeFace variant,
+    client/src/core/frameProcessor.ts:100-114).  For the Procrustes
+    similarity of the active pipeline the rotation term (typically <2
+    degrees between landmark updates) is dropped -- visually negligible
+    inside the 30% warp blend (frameProcessorTest.ts:108) but NOT
+    bit-identical to the reference; use warp_impl='exact' for parity.
+    """
+    h, w = src.shape[-2], src.shape[-1]
+    inv = invert_affine(affine)
+    ia11, ia12, itx, ia21, ia22, ity = (inv[..., i] for i in range(6))
+    y = jnp.arange(h, dtype=src.dtype)
+    x = jnp.arange(w, dtype=src.dtype)
+    # drop the off-diagonal (rotation/shear) terms
+    sy = ia22[..., None] * y + ity[..., None]  # [..., H]
+    sx = ia11[..., None] * x + itx[..., None]  # [..., W]
+    yi = jnp.floor(sy + 0.5).astype(jnp.int32)
+    xi = jnp.floor(sx + 0.5).astype(jnp.int32)
+    yv = (yi >= 0) & (yi < h)
+    xv = (xi >= 0) & (xi < w)
+    yc = jnp.clip(yi, 0, h - 1)
+    xc = jnp.clip(xi, 0, w - 1)
+    rows = jnp.take_along_axis(src, yc[..., :, None], axis=-2)
+    out = jnp.take_along_axis(rows, xc[..., None, :], axis=-1)
+    valid = yv[..., :, None] & xv[..., None, :]
+    return jnp.where(valid, out, jnp.zeros((), src.dtype))
+
+
 def warp_translate(src: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     """Integer translation warp (warpTranslate, frameProcessor.ts:100-114).
 

@@ -98,4 +98,28 @@ class PipelineStatics:
     upsample_method: str = "half_pixel"
     compute_dtype: Any = jnp.bfloat16
     face_path: bool = True  # disable to skip FD/LMK entirely
+    # cadence compaction: run FD/LMK only on the <= face_batch streams
+    # whose cadence fires (gather/scatter); face_batch=0 -> auto
+    # ceil(S / lmk_interval)
+    face_compact: bool = True
+    face_batch: int = 0
+    # prev-alpha warp lowering: 'exact' (reference 2-D gather) or
+    # 'separable' (scale+translate only; ~20x faster on TPU)
+    warp_impl: str = "separable"
+    # alpha upsample lowering: 'mxu' (channelless interp matmuls -- layout
+    # clean, exact taps) or 'gather'
+    upsample_impl: str = "mxu"
     use_fused_refine: bool = False  # Pallas fused stencil chain (TPU)
+    # resize lowering: 'gather' = reference-exact gather path; 'mxu' =
+    # dense interp matmuls (NOT recommended at 720p -- channel-minormost
+    # layout makes XLA's lowering pathological; kept for small inputs)
+    resize_impl: str = "gather"
+    # preprocess matmul precision: 'fast' (bf16 passes) | 'exact'
+    preprocess_precision: str = "fast"
+    # matting input: 'resized' = reference-style (resize to mask res, then
+    # model); 'native' = the model ingests full-res uint8 frames directly
+    # (MatteNetHD strided stem -- the TPU-first fast path)
+    matting_input: str = "resized"
+    # bilateral guide source: 'bilinear' (tf.js-parity resize of the f32
+    # frame) or 'nearest_u8' (single-take u8 resample; fast path)
+    guide_impl: str = "bilinear"

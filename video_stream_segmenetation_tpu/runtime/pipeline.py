@@ -67,11 +67,16 @@ class ModelBundle:
         }
 
 
-def _letterbox_to_square(frames: jnp.ndarray, frame_hw, target: int) -> jnp.ndarray:
+def _letterbox_to_square(
+    frames: jnp.ndarray, frame_hw, target: int, impl: str = "gather"
+) -> jnp.ndarray:
     """Static letterbox (toSquareLetterbox semantics,
     frameProcessorTest.ts:613-642): fit-resize then pad with black."""
     _, dw, dh, off_x, off_y = letterbox_params(frame_hw, target)
-    small = ops.resize_bilinear(frames, (dh, dw), method="half_pixel")
+    if impl == "mxu":
+        small = ops.resize_bilinear_mxu(frames, (dh, dw), method="half_pixel")
+    else:
+        small = ops.resize_bilinear(frames, (dh, dw), method="half_pixel")
     pads = [(0, 0)] * (frames.ndim - 3) + [
         (off_y, target - dh - off_y),
         (off_x, target - dw - off_x),
@@ -80,9 +85,10 @@ def _letterbox_to_square(frames: jnp.ndarray, frame_hw, target: int) -> jnp.ndar
     return jnp.pad(small, pads)
 
 
-def _face_subpath(bundle, params, frames_f32, state, statics: PipelineStatics, face_gate):
+def _face_subpath(bundle, params, frames_f32, fire, statics: PipelineStatics):
     """Batched stage 6: detector -> prior -> ROI -> landmarks -> affine.
 
+    fire: [S] bool -- the per-stream cadence+gate decision.
     Returns (prior [S,h,w], has_prior [S], affine_update [S,6],
     has_update [S], det_score [S]).
     """
@@ -90,13 +96,11 @@ def _face_subpath(bundle, params, frames_f32, state, statics: PipelineStatics, f
     mh, mw = statics.mask_hw
     fh, fw = statics.frame_hw
 
-    # cadence: frameIdx % interval == 0 (main.ts:57) AND host gate
-    cadence = (state.frame_idx % statics.lmk_interval) == 0
-    fire = cadence & face_gate
-
     # -- detector @ fd_size, letterboxed (the *intended* behavior; the
     # reference's active file has the letterboxMap bug, SURVEY.md App. A)
-    fd_in = _letterbox_to_square(frames_f32, (fh, fw), statics.fd_size)
+    fd_in = _letterbox_to_square(
+        frames_f32, (fh, fw), statics.fd_size, impl=statics.resize_impl
+    )
     det = bundle.face_model.apply(params["face"], fd_in)
     box, score, det_valid = ops.best_box_decode(
         det["box_coords"], det["box_scores"], (fh, fw), statics.fd_size, letterboxed=True
@@ -129,7 +133,47 @@ def _face_subpath(bundle, params, frames_f32, state, statics: PipelineStatics, f
     affine_update = affine_from_landmarks(
         pts_full, (fh, fw), (mh, mw), mode=statics.affine_mode
     )
-    return prior, det_ok, affine_update, lmk_ok, score
+    # score reported only for streams whose cadence actually ran
+    return prior, det_ok, affine_update, lmk_ok, jnp.where(fire, score, 0.0)
+
+
+def _face_subpath_compact(bundle, params, frames_f32, state, statics, face_gate):
+    """Cadence-compacted stage 6: gather the <= K streams whose cadence
+    fires this step (K = ceil(S / lmk_interval) with staggered admission,
+    runtime/scheduler.py), run the face models on that compact batch, and
+    scatter the results back.  Saves (interval-1)/interval of the FD/LMK
+    FLOPs + the per-stream 720p letterbox resize (~19 ms -> ~3 ms at
+    S=64 on v5e).
+
+    If more than K streams fire in one step (unstaggered admission), the
+    overflow streams simply skip this round -- the reference's own
+    in-flight gate drops landmark rounds the same way (main.ts:55-64).
+    """
+    s = frames_f32.shape[0]
+    mh, mw = statics.mask_hw
+    cadence = (state.frame_idx % statics.lmk_interval) == 0
+    fire = cadence & face_gate
+
+    k = statics.face_batch or max(1, -(-s // statics.lmk_interval))
+    if k >= s:
+        return _face_subpath(bundle, params, frames_f32, fire, statics)
+
+    (idxs,) = jnp.where(fire, size=k, fill_value=s)
+    sel_valid = idxs < s
+    safe = jnp.minimum(idxs, s - 1)
+    f_sel = jnp.take(frames_f32, safe, axis=0)
+
+    prior_k, has_prior_k, aff_k, has_upd_k, score_k = _face_subpath(
+        bundle, params, f_sel, sel_valid, statics
+    )
+
+    # scatter back (OOB fill index s is dropped by jnp scatter semantics)
+    prior = jnp.zeros((s, mh, mw), jnp.float32).at[idxs].set(prior_k)
+    has_prior = jnp.zeros((s,), bool).at[idxs].set(has_prior_k)
+    affine_update = jnp.zeros((s, 6), jnp.float32).at[idxs].set(aff_k)
+    has_update = jnp.zeros((s,), bool).at[idxs].set(has_upd_k)
+    det_score = jnp.zeros((s,), jnp.float32).at[idxs].set(score_k)
+    return prior, has_prior, affine_update, has_update, det_score
 
 
 def make_step(bundle: ModelBundle, statics: PipelineStatics):
@@ -141,20 +185,50 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
     mh, mw = statics.mask_hw
     fh, fw = statics.frame_hw
 
+    import jax as _jax
+
+    if statics.resize_impl == "mxu":
+        _pre_prec = (
+            _jax.lax.Precision.DEFAULT
+            if statics.preprocess_precision == "fast"
+            else _jax.lax.Precision.HIGHEST
+        )
+        _resize_down = lambda f: ops.resize_bilinear_mxu(
+            f, (mh, mw), method="asymmetric", precision=_pre_prec
+        )
+    else:
+        _resize_down = lambda f: ops.resize_bilinear(f, (mh, mw), method="asymmetric")
+
     def step(params, state: StreamState, frames_u8, background, knobs: PipelineKnobs, face_gate):
         s = frames_u8.shape[0]
         frames_f32 = frames_u8.astype(jnp.float32) / 255.0
 
-        # ---- stage 1: preprocess (tf.js resizeBilinear parity, :79-84)
-        small = ops.resize_bilinear(frames_f32, (mh, mw), method="asymmetric")
-
-        # ---- stage 2: matting forward
-        alpha_raw = bundle.matte_model.apply(params["matte"], small)["alpha"]
+        # ---- stages 1+2: preprocess + matting forward
+        if statics.matting_input == "native":
+            # TPU-first: the model ingests uint8 frames; its strided stem
+            # IS the resize (see models/mattenet_hd.py)
+            alpha_raw = bundle.matte_model.apply(params["matte"], frames_u8)["alpha"]
+            if statics.guide_impl == "nearest_u8":
+                guide_u8 = ops.resize_nearest(frames_u8, (mh, mw), method="half_pixel")
+                small = guide_u8.astype(jnp.float32) / 255.0
+            else:
+                small = _resize_down(frames_f32)
+        else:
+            # reference-style (tf.js resizeBilinear parity, :79-84)
+            small = _resize_down(frames_f32)
+            alpha_raw = bundle.matte_model.apply(params["matte"], small)["alpha"]
         alpha_raw = alpha_raw.astype(jnp.float32)
 
         # ---- stage 6 (computed early; applied by masks below)
         if statics.face_path and bundle.face_model is not None:
-            prior, has_prior, affine_update, has_update, det_score = _face_subpath(
+            face_fn = (
+                _face_subpath_compact
+                if statics.face_compact
+                else lambda b, p, f, st, stat, g: _face_subpath(
+                    b, p, f, ((st.frame_idx % stat.lmk_interval) == 0) & g, stat
+                )
+            )
+            prior, has_prior, affine_update, has_update, det_score = face_fn(
                 bundle, params, frames_f32, state, statics, face_gate
             )
         else:
@@ -165,7 +239,10 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             det_score = jnp.zeros((s,), jnp.float32)
 
         # ---- stage 3: motion-compensated warp of prev alpha (:102-112)
-        warped = ops.warp_affine_nearest(state.prev_alpha, state.affine)
+        if statics.warp_impl == "separable":
+            warped = ops.warp_affine_separable(state.prev_alpha, state.affine)
+        else:
+            warped = ops.warp_affine_nearest(state.prev_alpha, state.affine)
         w_blend = statics.warp_blend_weight
         use_warp = (state.has_affine & state.initialized)[:, None, None]
         base = jnp.where(
@@ -211,9 +288,20 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             )
         else:
             bg = jnp.broadcast_to(background, frames_f32.shape)
+        a_out = a
+        if statics.upsample_impl == "mxu":
+            # channelless planar resize contracts cleanly on the MXU
+            # (f32-exact taps; the channel-last variant is pathological)
+            a_out = jnp.clip(
+                ops.resize_bilinear_mxu(
+                    a, (fh, fw), method=statics.upsample_method, channel_last=False
+                ),
+                0.0,
+                1.0,
+            )
         out_u8 = ops.alpha_composite(
             frames_f32,
-            a,
+            a_out,
             background=bg,
             upsample_method=statics.upsample_method,
             out_u8=True,

@@ -67,10 +67,22 @@ class Engine:
         key = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(key, 3)
         mh, mw = self.statics.mask_hw
+        fh, fw = self.statics.frame_hw
         from video_stream_segmenetation_tpu import models
 
-        matte = models.MatteNet()
-        matte_p = matte.init(k1, jnp.zeros((1, mh, mw, 3)))
+        if self.statics.matting_input == "native":
+            ss = 5
+            stem_hw = (-(-fh // ss), -(-fw // ss))
+            if (2 * stem_hw[0], 2 * stem_hw[1]) != (mh, mw):
+                raise ValueError(
+                    f"native matting: mask_hw must be 2*ceil(frame/{ss}) "
+                    f"= {(2 * stem_hw[0], 2 * stem_hw[1])}, got {(mh, mw)}"
+                )
+            matte = models.MatteNetHD(stem_stride=ss)
+            matte_p = matte.init(k1, jnp.zeros((1, fh, fw, 3)))
+        else:
+            matte = models.MatteNet()
+            matte_p = matte.init(k1, jnp.zeros((1, mh, mw, 3)))
         face = models.FaceFinder(input_size=self.statics.fd_size)
         face_p = face.init(
             k2, jnp.zeros((1, self.statics.fd_size, self.statics.fd_size, 3))
