@@ -94,10 +94,29 @@ class MatteNetHD(nn.Module):
 
         u0 = nearest_x2(u1)[..., : x0.shape[-3], : x0.shape[-2], :]
         u0 = ConvBN(c(32), dtype=self.dtype)(jnp.concatenate([u0, x0], axis=-1), train)  # 144x256
-        # final 2x to the mask contract (288x512) + light refine
-        uf = nearest_x2(u0)
-        uf = ConvBN(16, dtype=self.dtype)(uf, train)
-        alpha_logit = nn.Conv(self.num_classes, (3, 3), padding="SAME", dtype=self.dtype)(uf)
+        # alpha logits at stem res, then an exact half-pixel 2x bilinear
+        # upsample to the 288x512 mask contract -- an interp matmul is far
+        # cheaper on TPU than full-res convs (decoder tail was ~60% of the
+        # forward before this; see ARCHITECTURE.md perf notes)
+        alpha_logit = nn.Conv(
+            self.num_classes, (3, 3), padding="SAME", dtype=self.dtype
+        )(u0)
+        from video_stream_segmenetation_tpu.ops.resize import resize_bilinear_mxu
+
+        h0, w0 = alpha_logit.shape[-3], alpha_logit.shape[-2]
+        # channelless planar resizes (clean MXU layout); per-class loop
+        alpha_logit = jnp.stack(
+            [
+                resize_bilinear_mxu(
+                    alpha_logit[..., k].astype(jnp.float32),
+                    (2 * h0, 2 * w0),
+                    method="half_pixel",
+                    channel_last=False,
+                )
+                for k in range(self.num_classes)
+            ],
+            axis=-1,
+        )
 
         if self.num_classes == 1:
             alpha = nn.sigmoid(alpha_logit.astype(jnp.float32))[..., 0]

@@ -53,6 +53,8 @@ from video_stream_segmenetation_tpu.ops.detect import (  # noqa: F401
 )
 from video_stream_segmenetation_tpu.ops.composite import (  # noqa: F401
     alpha_composite,
+    binarize_alpha,
+    multiclass_composite,
     upsample_alpha,
 )
 from video_stream_segmenetation_tpu.ops.blur import gaussian_blur, box_blur  # noqa: F401

@@ -81,3 +81,65 @@ def alpha_composite(
     out = frame * a + bg * (1 - a)
     # out_u8 assumes 0..1 units (Math.round semantics, frameProcessor.ts:442-444)
     return denormalize_to_u8(out) if out_u8 else out
+
+
+def binarize_alpha(alpha: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """Hard-alpha option: the 'soft/hard' composite switch of the U2Net
+    variant's composeMatteOnCanvas (client/src/core/u2FrameProc.ts:78-148)
+    and BASELINE.json's 'binary mask' config."""
+    return (alpha >= threshold).astype(alpha.dtype)
+
+
+def multiclass_composite(
+    frame: jnp.ndarray,
+    class_alpha: jnp.ndarray,
+    effects: list[dict],
+    upsample_method: str = "half_pixel",
+    out_u8: bool = False,
+) -> jnp.ndarray:
+    """Per-class composite effects (BASELINE.json config 5: multi-class
+    person/hair/clothing segmentation with per-class effects).
+
+    frame: ``[..., H, W, 3]`` float 0..1.  class_alpha: ``[..., h, w, K]``
+    softmax maps (class 0 = background).  effects: list of K dicts, one
+    per class, each one of:
+        {"keep": true}                      -- pass the frame through
+        {"color": (r, g, b)}                -- replace with a solid color
+        {"blur": sigma}                     -- blur that region
+        {"tint": (r, g, b), "strength": s}  -- blend toward a tint
+
+    Output = sum_k effect_k(frame) * alpha_k (alphas sum to 1).
+    """
+    h, w = frame.shape[-3], frame.shape[-2]
+    k = class_alpha.shape[-1]
+    if len(effects) != k:
+        raise ValueError(f"need {k} effects, got {len(effects)}")
+    if class_alpha.shape[-3:-1] != (h, w):
+        maps = [
+            upsample_alpha(class_alpha[..., i], (h, w), method=upsample_method)
+            for i in range(k)
+        ]
+        class_alpha = jnp.stack(maps, axis=-1)
+        class_alpha = class_alpha / jnp.maximum(
+            class_alpha.sum(-1, keepdims=True), 1e-6
+        )
+
+    out = jnp.zeros_like(frame)
+    for i, eff in enumerate(effects):
+        a = class_alpha[..., i : i + 1]
+        if eff.get("keep"):
+            layer = frame
+        elif "color" in eff:
+            layer = jnp.broadcast_to(
+                jnp.asarray(eff["color"], frame.dtype), frame.shape
+            )
+        elif "blur" in eff:
+            layer = gaussian_blur(frame, float(eff["blur"]))
+        elif "tint" in eff:
+            s = float(eff.get("strength", 0.5))
+            tint = jnp.asarray(eff["tint"], frame.dtype)
+            layer = frame * (1 - s) + tint * s
+        else:
+            raise ValueError(f"unknown effect: {eff}")
+        out = out + layer * a
+    return denormalize_to_u8(out) if out_u8 else out

@@ -120,6 +120,9 @@ class PipelineStatics:
     # model); 'native' = the model ingests full-res uint8 frames directly
     # (MatteNetHD strided stem -- the TPU-first fast path)
     matting_input: str = "resized"
+    # matting architecture: 'feedforward' or 'recurrent' (RVM-class model
+    # threading ConvGRU state through StreamState.rec)
+    matting_arch: str = "feedforward"
     # bilateral guide source: 'bilinear' (tf.js-parity resize of the f32
     # frame) or 'nearest_u8' (single-take u8 resample; fast path)
     guide_impl: str = "bilinear"

@@ -204,7 +204,15 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         frames_f32 = frames_u8.astype(jnp.float32) / 255.0
 
         # ---- stages 1+2: preprocess + matting forward
-        if statics.matting_input == "native":
+        new_rec = state.rec
+        if statics.matting_arch == "recurrent":
+            # RVM-class stateful matting (the frameProcessorRVM.ts variant):
+            # resize to mask res, thread the ConvGRU state pytree
+            small = _resize_down(frames_f32)
+            out_m = bundle.matte_model.apply(params["matte"], small, state.rec)
+            alpha_raw = out_m["alpha"].astype(jnp.float32)
+            new_rec = out_m["state"]
+        elif statics.matting_input == "native":
             # TPU-first: the model ingests uint8 frames; its strided stem
             # IS the resize (see models/mattenet_hd.py)
             alpha_raw = bundle.matte_model.apply(params["matte"], frames_u8)["alpha"]
@@ -318,6 +326,7 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             has_affine=new_has_affine,
             initialized=jnp.ones_like(state.initialized),
             frame_idx=state.frame_idx + 1,
+            rec=new_rec,
         )
         outputs = {
             "frame": out_u8,

@@ -27,13 +27,18 @@ class StreamState:
     has_affine: jnp.ndarray  # [S] bool -- lastAffine != null
     initialized: jnp.ndarray  # [S] bool -- prevAlpha != null
     frame_idx: jnp.ndarray  # [S] int32 -- per-stream frame counter
+    # optional recurrent-matting state (RecurrentMatteNet r1..r4 pytree,
+    # the batched form of frameProcessorRVM.ts:16-22); () when unused
+    rec: tuple = ()
 
     @property
     def num_streams(self) -> int:
         return self.prev_alpha.shape[0]
 
 
-def init_state(num_streams: int, mask_hw: tuple[int, int]) -> StreamState:
+def init_state(
+    num_streams: int, mask_hw: tuple[int, int], rec: tuple = ()
+) -> StreamState:
     h, w = mask_hw
     s = num_streams
     return StreamState(
@@ -42,13 +47,22 @@ def init_state(num_streams: int, mask_hw: tuple[int, int]) -> StreamState:
         has_affine=jnp.zeros((s,), bool),
         initialized=jnp.zeros((s,), bool),
         frame_idx=jnp.zeros((s,), jnp.int32),
+        rec=rec,
     )
 
 
 def reset_streams(state: StreamState, mask: jnp.ndarray) -> StreamState:
     """Cold-start the streams where ``mask`` is True (admission/eviction/
-    error recovery).  Jit-friendly: pure where-merge against fresh state."""
-    fresh = init_state(state.num_streams, state.prev_alpha.shape[-2:])
+    error recovery).  Jit-friendly: pure where-merge against fresh state;
+    recurrent state zero-fills (the documented RVM cold start,
+    frameProcessorRVM.ts:48-53)."""
+    fresh = jax.tree_util.tree_map(jnp.zeros_like, state)
+    fresh = dataclasses.replace(
+        fresh,
+        affine=jnp.tile(
+            jnp.asarray(IDENTITY_AFFINE, jnp.float32), (state.num_streams, 1)
+        ),
+    )
 
     def merge(new, old):
         m = mask.reshape((-1,) + (1,) * (old.ndim - 1))

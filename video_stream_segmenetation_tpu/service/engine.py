@@ -50,7 +50,14 @@ class Engine:
 
         mh, mw = self.statics.mask_hw
         fh, fw = self.statics.frame_hw
-        self.state = runtime.init_state(num_streams, (mh, mw))
+        rec = ()
+        if self.statics.matting_arch == "recurrent":
+            from video_stream_segmenetation_tpu.models.rvm import (
+                init_state as rvm_init_state,
+            )
+
+            rec = rvm_init_state(num_streams, (mh, mw))
+        self.state = runtime.init_state(num_streams, (mh, mw), rec=rec)
         self.knobs = runtime.default_knobs(num_streams)
         self.backgrounds = jnp.zeros((num_streams, fh, fw, 3), jnp.float32)
         self._last_face_at = np.zeros((num_streams,), np.float64)
@@ -70,7 +77,16 @@ class Engine:
         fh, fw = self.statics.frame_hw
         from video_stream_segmenetation_tpu import models
 
-        if self.statics.matting_input == "native":
+        if self.statics.matting_arch == "recurrent":
+            from video_stream_segmenetation_tpu.models.rvm import (
+                init_state as rvm_init_state,
+            )
+
+            matte = models.RecurrentMatteNet()
+            matte_p = matte.init(
+                k1, jnp.zeros((1, mh, mw, 3)), rvm_init_state(1, (mh, mw))
+            )
+        elif self.statics.matting_input == "native":
             ss = 5
             stem_hw = (-(-fh // ss), -(-fw // ss))
             if (2 * stem_hw[0], 2 * stem_hw[1]) != (mh, mw):

@@ -65,12 +65,22 @@ def restore_engine(path: str, engine) -> None:
     if restored["params"].get("lmk") is not None:
         engine.bundle.lmk_params = restored["params"]["lmk"]
     ss = restored["stream_state"]
+    rec = ss.get("rec", ())
+    if rec:
+        # restore the recurrent pytree with the engine's own structure
+        rec = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(engine.state.rec),
+            [jnp.asarray(x) for x in jax.tree_util.tree_leaves(rec)],
+        )
+    else:
+        rec = ()
     engine.state = StreamState(
         prev_alpha=jnp.asarray(ss["prev_alpha"]),
         affine=jnp.asarray(ss["affine"]),
         has_affine=jnp.asarray(ss["has_affine"]),
         initialized=jnp.asarray(ss["initialized"]),
         frame_idx=jnp.asarray(ss["frame_idx"]),
+        rec=rec,
     )
     kn = restored["knobs"]
     engine.knobs = PipelineKnobs(**{k: jnp.asarray(v) for k, v in kn.items()})
