@@ -40,29 +40,37 @@ from video_stream_segmenetation_tpu.ops.refine import (
 
 
 def _min3x3_interior(a: jnp.ndarray) -> jnp.ndarray:
-    """[H, W] -> [H-2, W-2] windowed min (clamped to <= 1 by caller)."""
+    """[H, W] -> [H-2, W-2] windowed min, separable (vertical then
+    horizontal single-axis slices -- Mosaic crashes on stacked graphs of
+    diagonal slice windows, see tests/test_kernels.py notes)."""
     h, w = a.shape
-    m = None
-    for dy in range(3):
-        for dx in range(3):
-            s = a[dy : h - 2 + dy, dx : w - 2 + dx]
-            m = s if m is None else jnp.minimum(m, s)
-    return m
+    v = jnp.minimum(jnp.minimum(a[: h - 2, :], a[1 : h - 1, :]), a[2:, :])
+    return jnp.minimum(jnp.minimum(v[:, : w - 2], v[:, 1 : w - 1]), v[:, 2:])
 
 
 def _max3x3_interior(a: jnp.ndarray) -> jnp.ndarray:
     h, w = a.shape
-    m = None
-    for dy in range(3):
-        for dx in range(3):
-            s = a[dy : h - 2 + dy, dx : w - 2 + dx]
-            m = s if m is None else jnp.maximum(m, s)
-    return m
+    v = jnp.maximum(jnp.maximum(a[: h - 2, :], a[1 : h - 1, :]), a[2:, :])
+    return jnp.maximum(jnp.maximum(v[:, : w - 2], v[:, 1 : w - 1]), v[:, 2:])
 
 
 def _interior_only(x_interior: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Embed an interior plane into a zero-bordered [H, W] plane."""
-    return jnp.zeros((h, w), x_interior.dtype).at[1 : h - 1, 1 : w - 1].set(x_interior)
+    """Embed an interior plane into a zero-bordered [H, W] plane.
+
+    jnp.pad (lax.pad) lowers cleanly in Mosaic for *stencil* outputs;
+    .at[].set/.add do not (scatter unimplemented), and pad of a CENTER
+    slice (pad(a[1:-1, 1:-1])) crashes the Mosaic compiler outright --
+    use `_border_zero` for that case instead.
+    """
+    return jnp.pad(x_interior, ((1, 1), (1, 1)))
+
+
+def _interior_mask(h: int, w: int) -> jnp.ndarray:
+    """Static bool [H, W]: True away from the 1-px border (iota-based --
+    the slice+pad formulation crashes Mosaic)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
 
 
 def _refine_kernel(
@@ -76,7 +84,9 @@ def _refine_kernel(
     has_prior_ref,
     # tensor (VMEM) refs
     alpha_ref,  # [1, H, W]
-    guide_ref,  # [1, 3, H, W] in 0..255 units
+    gr_ref,  # [1, H, W] guide R in 0..255 units
+    gg_ref,  # [1, H, W] guide G
+    gb_ref,  # [1, H, W] guide B
     prior_ref,  # [1, H, W]
     out_ref,  # [1, H, W]
 ):
@@ -90,20 +100,16 @@ def _refine_kernel(
     eroded = _interior_only(jnp.minimum(_min3x3_interior(a), 1.0), h, w)
     opened = _interior_only(jnp.maximum(_max3x3_interior(eroded), 0.0), h, w)
 
-    # ---- stage 7: closing inside the prior
-    in_prior = prior > 0
-    dil = jnp.maximum(_max3x3_interior(opened), 0.0)
-    dilated = _interior_only(
-        jnp.where(in_prior[1 : h - 1, 1 : w - 1], dil, opened[1 : h - 1, 1 : w - 1]),
-        h,
-        w,
+    # ---- stage 7: closing inside the prior (full-size selects against an
+    # iota interior mask -- center-slice pads crash Mosaic)
+    interior = _interior_mask(h, w)
+    in_prior = interior & (prior > 0)
+    dil_f = _interior_only(jnp.maximum(_max3x3_interior(opened), 0.0), h, w)
+    dilated = jnp.where(
+        in_prior, dil_f, jnp.where(interior, opened, 0.0)
     )
-    ero = jnp.minimum(_min3x3_interior(dilated), 1.0)
-    closed = _interior_only(
-        jnp.where(in_prior[1 : h - 1, 1 : w - 1], ero, dilated[1 : h - 1, 1 : w - 1]),
-        h,
-        w,
-    )
+    ero_f = _interior_only(jnp.minimum(_min3x3_interior(dilated), 1.0), h, w)
+    closed = jnp.where(in_prior, ero_f, dilated)
     a = jnp.where(has_prior, closed, opened)
 
     # ---- stage 8: joint bilateral 3x3 (self-normalizing at edges)
@@ -111,34 +117,53 @@ def _refine_kernel(
     sr = sr_ref[i]
     inv_two_ss2 = 1.0 / (2.0 * ss * ss)
     inv_two_sr2 = 1.0 / (2.0 * sr * sr)
-    g_r = guide_ref[0, 0]
-    g_g = guide_ref[0, 1]
-    g_b = guide_ref[0, 2]
+    g_r = gr_ref[0]
+    g_g = gg_ref[0]
+    g_b = gb_ref[0]
 
-    sum_w = jnp.ones((h, w), jnp.float32)  # center tap: exp(0)*exp(0)
-    sum_a = a
+    # Shifts are composed per-axis (vertical pass, then horizontal):
+    # Mosaic crashes on graphs with multiple *diagonal* slice+pad taps,
+    # and single-axis pads also produce a simpler program.  Out-of-bounds
+    # neighbors are excluded by the shifted ones-mask (self-normalizing
+    # edges, frameProcessorTest.ts:248-251).
+    def vshift(t, dy):
+        if dy == 0:
+            return t
+        if dy > 0:
+            return jnp.pad(t[dy:, :], ((0, dy), (0, 0)))
+        return jnp.pad(t[:dy, :], ((-dy, 0), (0, 0)))
 
-    def tap(dy, dx, sum_w, sum_a):
-        # overlapping region where the neighbor exists
-        oy0, oy1 = max(0, -dy), h - max(0, dy)
-        ox0, ox1 = max(0, -dx), w - max(0, dx)
-        iy0, iy1 = oy0 + dy, oy1 + dy
-        ix0, ix1 = ox0 + dx, ox1 + dx
-        dr = g_r[iy0:iy1, ix0:ix1] - g_r[oy0:oy1, ox0:ox1]
-        dg = g_g[iy0:iy1, ix0:ix1] - g_g[oy0:oy1, ox0:ox1]
-        db = g_b[iy0:iy1, ix0:ix1] - g_b[oy0:oy1, ox0:ox1]
-        range2 = dr * dr + dg * dg + db * db
-        spatial2 = jnp.float32(dy * dy + dx * dx)
-        wgt = jnp.exp(-spatial2 * inv_two_ss2) * jnp.exp(-range2 * inv_two_sr2)
-        sum_w = sum_w.at[oy0:oy1, ox0:ox1].add(wgt)
-        sum_a = sum_a.at[oy0:oy1, ox0:ox1].add(wgt * a[iy0:iy1, ix0:ix1])
-        return sum_w, sum_a
+    def hshift(t, dx):
+        if dx == 0:
+            return t
+        if dx > 0:
+            return jnp.pad(t[:, dx:], ((0, 0), (0, dx)))
+        return jnp.pad(t[:, :dx], ((0, 0), (-dx, 0)))
 
+    ones = jnp.ones((h, w), jnp.float32)
+    sum_w = jnp.zeros((h, w), jnp.float32)
+    sum_a = jnp.zeros((h, w), jnp.float32)
     for dy in (-1, 0, 1):
+        a_y = vshift(a, dy)
+        r_y = vshift(g_r, dy)
+        gy_y = vshift(g_g, dy)
+        b_y = vshift(g_b, dy)
+        v_y = vshift(ones, dy)
         for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            sum_w, sum_a = tap(dy, dx, sum_w, sum_a)
+            a_n = hshift(a_y, dx)
+            dr = hshift(r_y, dx) - g_r
+            dg = hshift(gy_y, dx) - g_g
+            db = hshift(b_y, dx) - g_b
+            v_n = hshift(v_y, dx)
+            range2 = dr * dr + dg * dg + db * db
+            spatial2 = jnp.float32(dy * dy + dx * dx)
+            wgt = (
+                jnp.exp(-spatial2 * inv_two_ss2)
+                * jnp.exp(-range2 * inv_two_sr2)
+                * v_n
+            )
+            sum_w = sum_w + wgt
+            sum_a = sum_a + wgt * a_n
     a_bi = sum_a / sum_w
     a = jnp.where(use_bi_ref[i] > 0, a_bi, a)
 
@@ -179,17 +204,14 @@ def fused_refine(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     s, h, w = alpha.shape
-    guide_chw = jnp.transpose(guide, (0, 3, 1, 2)).astype(jnp.float32)
+    guide = guide.astype(jnp.float32)
 
+    plane = pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(s,),
-        in_specs=[
-            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0)),
+        in_specs=[plane, plane, plane, plane, plane],
+        out_specs=plane,
     )
 
     return pl.pallas_call(
@@ -206,6 +228,8 @@ def fused_refine(
         jnp.asarray(knobs_sr, jnp.float32),
         jnp.asarray(has_prior, jnp.int32),
         alpha.astype(jnp.float32),
-        guide_chw,
+        guide[..., 0],
+        guide[..., 1],
+        guide[..., 2],
         prior.astype(jnp.float32),
     )

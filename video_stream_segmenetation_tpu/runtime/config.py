@@ -109,7 +109,9 @@ class PipelineStatics:
     # alpha upsample lowering: 'mxu' (channelless interp matmuls -- layout
     # clean, exact taps) or 'gather'
     upsample_impl: str = "mxu"
-    use_fused_refine: bool = False  # Pallas fused stencil chain (TPU)
+    # Pallas fused stencil chain: True / False / 'auto' (= on TPU only;
+    # elsewhere the XLA chain runs -- the pallas interpreter is too slow)
+    use_fused_refine: Any = "auto"
     # resize lowering: 'gather' = reference-exact gather path; 'mxu' =
     # dense interp matmuls (NOT recommended at 720p -- channel-minormost
     # layout makes XLA's lowering pathological; kept for small inputs)

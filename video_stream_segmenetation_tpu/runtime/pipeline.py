@@ -261,7 +261,12 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         new_prev, a = ops.temporal_ema(state.prev_alpha, base, knobs.ema, state.initialized)
 
         guide = small * 255.0  # canvas-u8-scale RGB guide
-        if statics.use_fused_refine:
+        use_fused = statics.use_fused_refine
+        if use_fused == "auto":
+            import jax as __jax
+
+            use_fused = __jax.default_backend() == "tpu"
+        if use_fused:
             # stages 5/7/8/9 in one VMEM-resident Pallas kernel
             from video_stream_segmenetation_tpu.kernels.refine_fused import fused_refine
 
@@ -295,7 +300,10 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 jnp.asarray(statics.bg_color, jnp.float32), frames_f32.shape
             )
         else:
-            bg = jnp.broadcast_to(background, frames_f32.shape)
+            bg = background
+            if bg.dtype == jnp.uint8:
+                bg = bg.astype(jnp.float32) / 255.0
+            bg = jnp.broadcast_to(bg, frames_f32.shape)
         a_out = a
         if statics.upsample_impl == "mxu":
             # channelless planar resize contracts cleanly on the MXU

@@ -59,7 +59,9 @@ class Engine:
             rec = rvm_init_state(num_streams, (mh, mw))
         self.state = runtime.init_state(num_streams, (mh, mw), rec=rec)
         self.knobs = runtime.default_knobs(num_streams)
-        self.backgrounds = jnp.zeros((num_streams, fh, fw, 3), jnp.float32)
+        # stored uint8: 4x less HBM traffic per composite; converted
+        # on the fly inside the fused step
+        self.backgrounds = jnp.zeros((num_streams, fh, fw, 3), jnp.uint8)
         self._last_face_at = np.zeros((num_streams,), np.float64)
         self.face_min_interval_s = 0.180  # L_MIN_MS (main.ts:11)
 
@@ -160,7 +162,8 @@ class Engine:
         fh, fw = self.statics.frame_hw
         if img.shape[:2] != (fh, fw):
             img = ops.resize_bilinear(img, (fh, fw), method="half_pixel")
-        self.backgrounds = self.backgrounds.at[slot].set(img)
+        img_u8 = jnp.clip(jnp.floor(img * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
+        self.backgrounds = self.backgrounds.at[slot].set(img_u8)
 
     def _apply_staged(self):
         with self._lock:
