@@ -98,6 +98,20 @@ class PipelineStatics:
     upsample_method: str = "half_pixel"
     compute_dtype: Any = jnp.bfloat16
     face_path: bool = True  # disable to skip FD/LMK entirely
+    # face tracking mode: 'landmarks' = FD -> ROI -> 468 landmarks ->
+    # Procrustes similarity (the active frameProcessorTest.ts pipeline);
+    # 'translation' = detector-center delta only (the BlazeFace variant,
+    # frameProcessor.ts:369-386: plain 128 resize, center delta x gain,
+    # 50/50 blend, no prior/morphology)
+    face_tracking: str = "landmarks"
+    translation_gain: float = 0.9  # WARP_GAIN (frameProcessor.ts:26)
+    # temporal filter: 'ema' (frameProcessorTest.ts:218-227) or
+    # 'hole_fill' (the documented alternative,
+    # frameProcessor_branch.ts:155-180)
+    temporal_filter: str = "ema"
+    # morphological opening stage toggle (the BlazeFace and branch
+    # variants run without morphology)
+    morphology: bool = True
     # cadence compaction: run FD/LMK only on the <= face_batch streams
     # whose cadence fires (gather/scatter); face_batch=0 -> auto
     # ceil(S / lmk_interval)

@@ -43,7 +43,7 @@ from video_stream_segmenetation_tpu.ops.geometry import (
     pad_box,
 )
 from video_stream_segmenetation_tpu.runtime.config import PipelineKnobs, PipelineStatics
-from video_stream_segmenetation_tpu.runtime.state import StreamState
+from video_stream_segmenetation_tpu.runtime.state import IDENTITY_AFFINE, StreamState
 
 
 @dataclasses.dataclass
@@ -176,6 +176,57 @@ def _face_subpath_compact(bundle, params, frames_f32, state, statics, face_gate)
     return prior, has_prior, affine_update, has_update, det_score
 
 
+def _face_translation_subpath(bundle, params, frames_f32, state, statics, face_gate):
+    """Translation-only tracking (the BlazeFace variant, runBlazeFace +
+    warpTranslate, client/src/core/frameProcessor.ts:244-342,369-386):
+    detector on a plain fd_size resize (no letterbox), best box center in
+    mask coords, delta vs the previous center scaled by WARP_GAIN, applied
+    as an integer-translation affine.  No landmarks, no prior.
+
+    Returns (affine_update [S,6], has_update [S], det_score [S],
+    new_center [S,2], new_has_center [S]).
+    """
+    s = frames_f32.shape[0]
+    mh, mw = statics.mask_hw
+    fh, fw = statics.frame_hw
+    cadence = (state.frame_idx % statics.lmk_interval) == 0
+    fire = cadence & face_gate
+
+    from video_stream_segmenetation_tpu.ops.resize import resize_bilinear
+
+    fd_in = resize_bilinear(
+        frames_f32, (statics.fd_size, statics.fd_size), method="asymmetric"
+    )
+    det = bundle.face_model.apply(params["face"], fd_in)
+    box, score, det_valid = ops.best_box_decode(
+        det["box_coords"], det["box_scores"], (fh, fw), statics.fd_size,
+        letterboxed=False,
+    )
+    det_ok = fire & det_valid & (score >= statics.face_score_thresh)
+
+    # center in mask coords with JS round+clamp (frameProcessor.ts:331-335)
+    cx = jnp.clip(
+        jnp.floor((box[:, 0] + box[:, 2]) / 2 / fw * mw + 0.5), 0, mw - 1
+    )
+    cy = jnp.clip(
+        jnp.floor((box[:, 1] + box[:, 3]) / 2 / fh * mh + 0.5), 0, mh - 1
+    )
+    center = jnp.stack([cx, cy], axis=-1)
+
+    has_prev = det_ok & state.has_center
+    delta = (center - state.face_center) * statics.translation_gain
+    # integer translation (warpTranslate truncates, frameProcessor.ts:102)
+    dxi = jnp.trunc(delta[:, 0])
+    dyi = jnp.trunc(delta[:, 1])
+    one = jnp.ones((s,), jnp.float32)
+    zero = jnp.zeros((s,), jnp.float32)
+    affine_update = jnp.stack([one, zero, dxi, zero, one, dyi], axis=-1)
+
+    new_center = jnp.where(det_ok[:, None], center, state.face_center)
+    new_has_center = state.has_center | det_ok
+    return affine_update, has_prev, jnp.where(fire, score, 0.0), new_center, new_has_center
+
+
 def make_step(bundle: ModelBundle, statics: PipelineStatics):
     """Build the jittable step.
 
@@ -228,7 +279,19 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         alpha_raw = alpha_raw.astype(jnp.float32)
 
         # ---- stage 6 (computed early; applied by masks below)
-        if statics.face_path and bundle.face_model is not None:
+        new_center, new_has_center = state.face_center, state.has_center
+        if (
+            statics.face_path
+            and bundle.face_model is not None
+            and statics.face_tracking == "translation"
+        ):
+            (affine_update, has_update, det_score, new_center, new_has_center
+             ) = _face_translation_subpath(
+                bundle, params, frames_f32, state, statics, face_gate
+            )
+            prior = jnp.zeros((s, mh, mw), jnp.float32)
+            has_prior = jnp.zeros((s,), bool)
+        elif statics.face_path and bundle.face_model is not None:
             face_fn = (
                 _face_subpath_compact
                 if statics.face_compact
@@ -257,8 +320,15 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             use_warp, warped * w_blend + alpha_raw * (1 - w_blend), alpha_raw
         )
 
-        # ---- stage 4: temporal EMA (:115)
-        new_prev, a = ops.temporal_ema(state.prev_alpha, base, knobs.ema, state.initialized)
+        # ---- stage 4: temporal filter (:115 / branch variant :155-180)
+        if statics.temporal_filter == "hole_fill":
+            new_prev, a = ops.hole_filling_ema(
+                state.prev_alpha, base, knobs.ema, state.initialized
+            )
+        else:
+            new_prev, a = ops.temporal_ema(
+                state.prev_alpha, base, knobs.ema, state.initialized
+            )
 
         guide = small * 255.0  # canvas-u8-scale RGB guide
         use_fused = statics.use_fused_refine
@@ -266,6 +336,9 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             import jax as __jax
 
             use_fused = __jax.default_backend() == "tpu"
+        # the fused kernel bakes the morphology stages in; variants that
+        # disable morphology take the XLA chain
+        use_fused = use_fused and statics.morphology
         if use_fused:
             # stages 5/7/8/9 in one VMEM-resident Pallas kernel
             from video_stream_segmenetation_tpu.kernels.refine_fused import fused_refine
@@ -277,11 +350,12 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 has_prior,
             )
         else:
-            # ---- stage 5: morphological opening (:118)
-            a = ops.morphological_opening(a)
+            if statics.morphology:
+                # ---- stage 5: morphological opening (:118)
+                a = ops.morphological_opening(a)
 
-            # ---- stage 7: prior-gated closing (:157)
-            a = ops.morphological_closing_in_prior(a, prior, has_prior)
+                # ---- stage 7: prior-gated closing (:157)
+                a = ops.morphological_closing_in_prior(a, prior, has_prior)
 
             # ---- stage 8: joint bilateral, per-stream toggle (:160-163)
             a_bi = ops.joint_bilateral3x3(a, guide, knobs.sigma_spatial, knobs.sigma_range)
@@ -323,10 +397,18 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             out_u8=True,
         )
 
-        # ---- affine low-pass merge for next frame (main.ts:77-94)
-        new_affine, new_has_affine = ops.affine_lowpass(
-            state.affine, affine_update, statics.warp_gain, state.has_affine, has_update
-        )
+        # ---- affine merge for next frame
+        if statics.face_tracking == "translation":
+            # per-frame displacement, not a persistent transform: apply
+            # once, then identity (frameProcessor.ts:375-384 semantics)
+            ident = jnp.tile(jnp.asarray(IDENTITY_AFFINE, jnp.float32), (s, 1))
+            new_affine = jnp.where(has_update[:, None], affine_update, ident)
+            new_has_affine = has_update
+        else:
+            # low-pass merge (main.ts:77-94)
+            new_affine, new_has_affine = ops.affine_lowpass(
+                state.affine, affine_update, statics.warp_gain, state.has_affine, has_update
+            )
 
         new_state = StreamState(
             prev_alpha=new_prev,
@@ -335,6 +417,8 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             initialized=jnp.ones_like(state.initialized),
             frame_idx=state.frame_idx + 1,
             rec=new_rec,
+            face_center=new_center,
+            has_center=new_has_center,
         )
         outputs = {
             "frame": out_u8,

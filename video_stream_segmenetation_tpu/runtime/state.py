@@ -30,6 +30,10 @@ class StreamState:
     # optional recurrent-matting state (RecurrentMatteNet r1..r4 pytree,
     # the batched form of frameProcessorRVM.ts:16-22); () when unused
     rec: tuple = ()
+    # translation-tracking state (prevFaceCenter, frameProcessor.ts:46):
+    # [S, 2] mask-space face center + [S] validity
+    face_center: jnp.ndarray | None = None
+    has_center: jnp.ndarray | None = None
 
     @property
     def num_streams(self) -> int:
@@ -48,6 +52,8 @@ def init_state(
         initialized=jnp.zeros((s,), bool),
         frame_idx=jnp.zeros((s,), jnp.int32),
         rec=rec,
+        face_center=jnp.zeros((s, 2), jnp.float32),
+        has_center=jnp.zeros((s,), bool),
     )
 
 

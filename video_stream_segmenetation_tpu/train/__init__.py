@@ -7,3 +7,7 @@ from video_stream_segmenetation_tpu.train.step import (  # noqa: F401
     make_optimizer,
     make_train_step,
 )
+from video_stream_segmenetation_tpu.train.loop import (  # noqa: F401
+    fit,
+    synthetic_matting_batch,
+)
