@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--out", default="/tmp/vbc")
     ap.add_argument("--privacy", default="medium", choices=["low", "medium", "high"])
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--checkpoint", default=None,
+        help="orbax checkpoint dir with trained matting weights "
+        "(e.g. checkpoints/mattenet)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -45,6 +50,8 @@ def main():
         background="image",
     )
     engine = Engine(num_streams=args.streams, statics=statics, donate_state=False)
+    if args.checkpoint:
+        engine.load_matting_params(args.checkpoint)
     sched = runtime.StreamScheduler(engine, use_native_pool=True)
 
     # personalized backgrounds from the sample content data

@@ -1,0 +1,206 @@
+"""Benchmark suite covering the BASELINE.json configs + a batch-size
+latency sweep.  Writes benchmarks/RESULTS.json and prints a summary.
+
+Configs (BASELINE.json):
+ 1. single 256x256 frame selfie segmentation -> binary mask + bg-blur (CPU)
+ 2. 720p30 single-stream segmentation with temporal EMA
+ 3. background replacement with custom image + joint-bilateral refinement
+ 4. batched multi-stream inference (32x concurrent 720p streams)
+ 5. multi-class segmentation (person/hair/clothing) with per-class effects
+
+Run: JAX_PLATFORMS= PYTHONPATH=. python tools/bench_suite.py
+(config 1 runs on the CPU backend in a subprocess, as specified)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+RESULTS = {}
+
+
+def _sync_scalar(x):
+    import jax.numpy as jnp
+
+    return np.asarray(jnp.sum(x.reshape(-1)[:4].astype(jnp.float32)))
+
+
+def time_engine_chain(engine, frames_dev, n=20, reps=2):
+    """Chained-step timing with single scalar sync (tunnel methodology)."""
+    import jax.numpy as jnp
+
+    gate = jnp.ones((engine.num_streams,), bool)
+
+    def chain(k):
+        st = engine.state
+        for _ in range(k):
+            st, out = engine._step(
+                engine.bundle.params, st, frames_dev, engine.backgrounds,
+                engine.knobs, gate,
+            )
+        return st, out
+
+    st, out = chain(2)
+    _sync_scalar(out["frame"])
+    t0 = time.perf_counter()
+    _sync_scalar(out["frame"])
+    rtt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        st, out = chain(n)
+        _sync_scalar(out["frame"])
+        best = min(best, (time.perf_counter() - t0 - rtt) / n)
+    return best * 1e3
+
+
+def config_1_cpu_subprocess():
+    """256x256 single frame -> binary mask + blur composite on CPU."""
+    code = r"""
+import json, time, numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import sys; sys.path.insert(0, %r)
+import jax.numpy as jnp
+from video_stream_segmenetation_tpu import models, ops
+
+model, params = models.get_spec("mattenet").init_params()
+
+@jax.jit
+def pipeline(frame_u8):
+    f = frame_u8.astype(jnp.float32) / 255.0
+    small = ops.resize_bilinear(f, (288, 512), method="asymmetric")
+    a = model.apply(params, small[None])["alpha"][0]
+    a = ops.binarize_alpha(a)
+    return ops.alpha_composite(f, a, bg_blur_sigma=6.0, out_u8=True)
+
+frame = (np.random.default_rng(0).random((256, 256, 3)) * 255).astype(np.uint8)
+out = pipeline(frame); out.block_until_ready()
+ts = []
+for _ in range(10):
+    t0 = time.perf_counter(); pipeline(frame).block_until_ready()
+    ts.append((time.perf_counter() - t0) * 1e3)
+print("RESULT", json.dumps({"latency_ms_p50": sorted(ts)[len(ts)//2]}))
+""" % ROOT
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=600)
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return json.loads(line[len("RESULT "):])
+    return {"error": (r.stderr or r.stdout)[-300:]}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu import models, ops, runtime
+    from video_stream_segmenetation_tpu.service import Engine
+
+    print("[1] single 256x256 binary mask + blur composite (CPU)...", flush=True)
+    RESULTS["config1_cpu_256"] = config_1_cpu_subprocess()
+    print("   ", RESULTS["config1_cpu_256"], flush=True)
+
+    fast = dict(
+        matting_input="native", guide_impl="nearest_u8",
+        warp_impl="separable", face_compact=True,
+    )
+
+    def frames_for(s):
+        return jax.jit(
+            lambda k: (jax.random.uniform(k, (s, 720, 1280, 3)) * 255).astype(jnp.uint8)
+        )(jax.random.PRNGKey(0))
+
+    # 2: single-stream 720p with EMA (blur background default off -> color)
+    print("[2] 720p single-stream...", flush=True)
+    eng1 = Engine(1, runtime.PipelineStatics(background="blur", **fast), donate_state=False)
+    ms = time_engine_chain(eng1, frames_for(1))
+    RESULTS["config2_720p_single"] = {
+        "step_ms": round(ms, 2), "fps_capacity": round(1000 / ms, 1)
+    }
+    print("   ", RESULTS["config2_720p_single"], flush=True)
+
+    # 3: bg replacement + bilateral (image backgrounds, knobs default on)
+    print("[3] bg replacement + bilateral, S=8...", flush=True)
+    eng3 = Engine(8, runtime.PipelineStatics(background="image", **fast), donate_state=False)
+    ms = time_engine_chain(eng3, frames_for(8))
+    RESULTS["config3_replace_bilateral_s8"] = {"step_ms": round(ms, 2)}
+    print("   ", RESULTS["config3_replace_bilateral_s8"], flush=True)
+
+    # 4: 32x concurrent 720p
+    print("[4] batched 32x 720p...", flush=True)
+    eng32 = Engine(32, runtime.PipelineStatics(background="image", **fast), donate_state=False)
+    ms = time_engine_chain(eng32, frames_for(32))
+    RESULTS["config4_batched_32"] = {
+        "step_ms": round(ms, 2),
+        "streams_at_30fps": round(32 * min(33.33 / ms, 4.0), 1),
+    }
+    print("   ", RESULTS["config4_batched_32"], flush=True)
+
+    # 5: multi-class + per-class effects (model-level timing at 288x512)
+    print("[5] multi-class + effects, S=16...", flush=True)
+    model, params = models.get_spec("mattenet_multiclass").init_params()
+    effects = [
+        {"blur": 6.0}, {"keep": True}, {"tint": (0.9, 0.8, 0.2), "strength": 0.3},
+        {"color": (0.1, 0.1, 0.1)},
+    ]
+
+    @jax.jit
+    def mc_step(c, frames_u8):
+        f = frames_u8.astype(jnp.float32) / 255.0 + 0.0 * c.reshape(-1)[0].astype(jnp.float32)
+        small = ops.resize_bilinear_mxu(
+            f, (288, 512), method="asymmetric",
+            precision=jax.lax.Precision.DEFAULT,
+        ) if False else ops.resize_bilinear(f, (288, 512), method="asymmetric")
+        ca = model.apply(params, small)["alpha"]
+        return ops.multiclass_composite(f, ca, effects, out_u8=True)
+
+    f16 = frames_for(16)
+    c = mc_step(jnp.zeros((1,)), f16)
+    _sync_scalar(c)
+    t0 = time.perf_counter()
+    _sync_scalar(c)
+    rtt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        x = c
+        for _ in range(10):
+            x = mc_step(x.astype(jnp.float32), f16)
+        _sync_scalar(x)
+        best = min(best, (time.perf_counter() - t0 - rtt) / 10)
+    RESULTS["config5_multiclass_s16"] = {"step_ms": round(best * 1e3, 2)}
+    print("   ", RESULTS["config5_multiclass_s16"], flush=True)
+
+    # latency sweep
+    print("[sweep] batch-size latency...", flush=True)
+    sweep = {}
+    for s in (1, 8, 16, 64):
+        if s == 1:
+            sweep[s] = RESULTS["config2_720p_single"]["step_ms"]
+            continue
+        eng = Engine(s, runtime.PipelineStatics(background="image", **fast), donate_state=False)
+        sweep[s] = round(time_engine_chain(eng, frames_for(s), n=10), 2)
+        print(f"    S={s}: {sweep[s]} ms", flush=True)
+    RESULTS["latency_sweep_ms"] = sweep
+
+    os.makedirs(os.path.join(ROOT, "benchmarks"), exist_ok=True)
+    with open(os.path.join(ROOT, "benchmarks", "RESULTS.json"), "w") as f:
+        json.dump(RESULTS, f, indent=2)
+    print(json.dumps(RESULTS, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Train the flagship matting nets on synthetic data and save checkpoints.
+
+Conv nets are resolution-agnostic: training runs at a reduced geometry
+(fast) and the weights serve at 720p.  Checkpoints land in checkpoints/
+and are picked up by Engine via utils.restore_params.
+
+Run on the TPU:  JAX_PLATFORMS= PYTHONPATH=. python tools/train_flagship.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from video_stream_segmenetation_tpu import models, train, utils  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "checkpoints")
+
+
+def main(steps: int = 600):
+    os.makedirs(OUT, exist_ok=True)
+    jobs = [
+        # (name, model, train geometry) -- HD trains at a /5-divisible size
+        ("mattenet_hd", models.MatteNetHD(), (240, 320)),
+        ("mattenet", models.MatteNet(), (96, 160)),
+    ]
+    for name, model, hw in jobs:
+        print(f"=== training {name} at {hw} ===", flush=True)
+        params, history = train.fit(
+            model, hw=hw, batch=32, steps=steps, lr=1.5e-3, log_every=100
+        )
+        for rec in history:
+            print(f"[{name}] {json.dumps(rec)}", flush=True)
+        path = os.path.join(OUT, name)
+        utils.save_params(path, params)
+        print(f"[{name}] saved to {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600)

@@ -111,6 +111,14 @@ class Engine:
         )
         return runtime.ModelBundle(matte, matte_p, face, face_p, lmk, lmk_p)
 
+    def load_matting_params(self, path: str) -> None:
+        """Load flagship matting weights from an orbax checkpoint dir
+        (service start = checkpoint read, SURVEY.md §5).  The param tree
+        must match the configured matting architecture."""
+        from video_stream_segmenetation_tpu.utils.checkpoint import restore_params
+
+        self.bundle.matte_params = restore_params(path)
+
     # ---- stream admission (SURVEY.md §5 failure/recovery) -------------
     def admit(self) -> int:
         """Take a free slot; cold-start its state.  Returns the slot id."""

@@ -94,7 +94,15 @@ def fit(
         state, metrics = step_fn(state, frames, alpha_gt)
         if i % log_every == 0 or i == steps - 1:
             out = model.apply(state.params, frames)
-            iou = float(iou_metric(out["alpha"], alpha_gt).mean())
+            gt = alpha_gt
+            if out["alpha"].shape[-2:] != gt.shape[-2:]:
+                from video_stream_segmenetation_tpu.ops.resize import resize_bilinear
+
+                gt = resize_bilinear(
+                    gt, out["alpha"].shape[-2:], method="half_pixel",
+                    channel_last=False,
+                )
+            iou = float(iou_metric(out["alpha"], gt).mean())
             rec = {
                 "step": i,
                 "loss": float(metrics["loss"]),

@@ -37,6 +37,18 @@ def matting_loss(
     Returns (scalar loss, metrics dict).
     """
     alpha = outputs["alpha"].astype(jnp.float32)
+    # models may emit alpha at a different resolution than the input
+    # (MatteNetHD: input/2.5 -- the 288x512 mask contract at 720p);
+    # compare at the model's output geometry
+    if alpha.shape[-2:] != alpha_gt.shape[-2:]:
+        alpha_gt = resize_bilinear(
+            alpha_gt, alpha.shape[-2:], method="half_pixel", channel_last=False
+        )
+        frame = resize_bilinear(frame, alpha.shape[-2:], method="half_pixel")
+        if fg is not None:
+            fg = resize_bilinear(fg, alpha.shape[-2:], method="half_pixel")
+        if bg is not None:
+            bg = resize_bilinear(bg, alpha.shape[-2:], method="half_pixel")
     h16 = outputs["semantic"].shape[-2:]
     h4 = outputs["detail"].shape[-2:]
 
@@ -48,7 +60,10 @@ def matting_loss(
     bmask = _boundary_mask(det_gt)
     det_loss = jnp.sum(jnp.abs(det_pred - det_gt) * bmask) / (jnp.sum(bmask) + 1.0)
 
-    alpha_loss = jnp.mean(jnp.abs(alpha - alpha_gt))
+    # foreground-weighted L1: persons cover a minority of pixels; an
+    # unweighted L1 lets the net collapse to all-background
+    wmap = 1.0 + 4.0 * alpha_gt
+    alpha_loss = jnp.sum(jnp.abs(alpha - alpha_gt) * wmap) / jnp.sum(wmap)
 
     if fg is not None and bg is not None:
         comp_pred = fg * alpha[..., None] + bg * (1 - alpha[..., None])
