@@ -22,7 +22,8 @@ def _reference_chain(alpha, guide, prior, low, high, gamma, use_bi, ss, sr, has_
 @pytest.fixture
 def inputs(rng):
     alpha = jnp.asarray(rng.random((S, H, W), dtype=np.float32))
-    guide = jnp.asarray((rng.random((S, H, W, 3)) * 255).astype(np.float32))
+    # integer-valued guide: the pipeline quantizes to u8 canvas parity
+    guide = jnp.asarray(np.round(rng.random((S, H, W, 3)) * 255).astype(np.float32))
     prior = ops.face_prior_mask(
         jnp.asarray([[30.0, 20.0, 90.0, 70.0]] * S), (96, 160), (H, W)
     )

@@ -117,6 +117,8 @@ def _refine_kernel(
     sr = sr_ref[i]
     inv_two_ss2 = 1.0 / (2.0 * ss * ss)
     inv_two_sr2 = 1.0 / (2.0 * sr * sr)
+    # guide rides in bf16 (u8 pixel values are exact integers in bf16;
+    # halves VMEM); differences are exact, squared in f32
     g_r = gr_ref[0]
     g_g = gg_ref[0]
     g_b = gb_ref[0]
@@ -140,7 +142,7 @@ def _refine_kernel(
             return jnp.pad(t[:, dx:], ((0, 0), (0, dx)))
         return jnp.pad(t[:, :dx], ((0, 0), (-dx, 0)))
 
-    ones = jnp.ones((h, w), jnp.float32)
+    ones = jnp.ones((h, w), jnp.bfloat16)
     sum_w = jnp.zeros((h, w), jnp.float32)
     sum_a = jnp.zeros((h, w), jnp.float32)
     for dy in (-1, 0, 1):
@@ -151,9 +153,9 @@ def _refine_kernel(
         v_y = vshift(ones, dy)
         for dx in (-1, 0, 1):
             a_n = hshift(a_y, dx)
-            dr = hshift(r_y, dx) - g_r
-            dg = hshift(gy_y, dx) - g_g
-            db = hshift(b_y, dx) - g_b
+            dr = (hshift(r_y, dx) - g_r).astype(jnp.float32)
+            dg = (hshift(gy_y, dx) - g_g).astype(jnp.float32)
+            db = (hshift(b_y, dx) - g_b).astype(jnp.float32)
             v_n = hshift(v_y, dx)
             range2 = dr * dr + dg * dg + db * db
             spatial2 = jnp.float32(dy * dy + dx * dx)
@@ -204,7 +206,10 @@ def fused_refine(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     s, h, w = alpha.shape
-    guide = guide.astype(jnp.float32)
+    # quantize the guide to u8 integer values (the reference's guide comes
+    # from canvas getImageData and IS u8, frameProcessorTest.ts:315-321);
+    # integers <= 255 are exact in bf16, halving the kernel's VMEM
+    guide = jnp.floor(guide + 0.5).astype(jnp.bfloat16)
 
     plane = pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -330,7 +330,9 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 state.prev_alpha, base, knobs.ema, state.initialized
             )
 
-        guide = small * 255.0  # canvas-u8-scale RGB guide
+        # canvas-u8-scale RGB guide, quantized to integer pixel values
+        # (the reference guide is u8 canvas data, frameProcessorTest.ts:315-321)
+        guide = jnp.floor(small * 255.0 + 0.5)
         use_fused = statics.use_fused_refine
         if use_fused == "auto":
             import jax as __jax
