@@ -126,6 +126,11 @@ class PipelineStatics:
     # Pallas fused stencil chain: True / False / 'auto' (= on TPU only;
     # elsewhere the XLA chain runs -- the pallas interpreter is too slow)
     use_fused_refine: Any = "auto"
+    # Pallas fused composite (upsample+blend+u8). Default OFF: measured
+    # slightly slower than the XLA mxu-upsample composite at S=64 (34.2 vs
+    # 32.3 ms/step -- the interp-weight blocks refetch per grid step);
+    # kept for future tuning. True enables; 'auto' currently = False.
+    use_fused_composite: Any = False
     # resize lowering: 'gather' = reference-exact gather path; 'mxu' =
     # dense interp matmuls (NOT recommended at 720p -- channel-minormost
     # layout makes XLA's lowering pathological; kept for small inputs)

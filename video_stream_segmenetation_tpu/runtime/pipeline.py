@@ -369,35 +369,67 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             )
 
         # ---- stage 10: upsample + composite (:169-178 + CSS stacking)
-        if statics.background == "blur":
-            bg = ops.gaussian_blur(frames_f32, statics.bg_blur_sigma)
-        elif statics.background == "color":
-            bg = jnp.broadcast_to(
-                jnp.asarray(statics.bg_color, jnp.float32), frames_f32.shape
+        from video_stream_segmenetation_tpu.kernels.composite_fused import (
+            ROW_BLOCK,
+            fused_composite,
+        )
+
+        use_fc = statics.use_fused_composite
+        if use_fc == "auto":
+            use_fc = False  # see config note: XLA path currently faster
+        use_fc = (
+            use_fc
+            and statics.background in ("image", "color")
+            and fh % ROW_BLOCK == 0
+        )
+        if use_fc:
+            if statics.background == "color":
+                bg_u8 = jnp.broadcast_to(
+                    jnp.floor(
+                        jnp.asarray(statics.bg_color, jnp.float32) * 255.0 + 0.5
+                    ).astype(jnp.uint8),
+                    frames_u8.shape,
+                )
+            else:
+                bg_u8 = background
+                if bg_u8.dtype != jnp.uint8:
+                    bg_u8 = jnp.clip(
+                        jnp.floor(bg_u8 * 255.0 + 0.5), 0, 255
+                    ).astype(jnp.uint8)
+                bg_u8 = jnp.broadcast_to(bg_u8, frames_u8.shape)
+            out_u8 = fused_composite(
+                frames_u8, a, bg_u8, method=statics.upsample_method
             )
         else:
-            bg = background
-            if bg.dtype == jnp.uint8:
-                bg = bg.astype(jnp.float32) / 255.0
-            bg = jnp.broadcast_to(bg, frames_f32.shape)
-        a_out = a
-        if statics.upsample_impl == "mxu":
-            # channelless planar resize contracts cleanly on the MXU
-            # (f32-exact taps; the channel-last variant is pathological)
-            a_out = jnp.clip(
-                ops.resize_bilinear_mxu(
-                    a, (fh, fw), method=statics.upsample_method, channel_last=False
-                ),
-                0.0,
-                1.0,
+            if statics.background == "blur":
+                bg = ops.gaussian_blur(frames_f32, statics.bg_blur_sigma)
+            elif statics.background == "color":
+                bg = jnp.broadcast_to(
+                    jnp.asarray(statics.bg_color, jnp.float32), frames_f32.shape
+                )
+            else:
+                bg = background
+                if bg.dtype == jnp.uint8:
+                    bg = bg.astype(jnp.float32) / 255.0
+                bg = jnp.broadcast_to(bg, frames_f32.shape)
+            a_out = a
+            if statics.upsample_impl == "mxu":
+                # channelless planar resize contracts cleanly on the MXU
+                # (f32-exact taps; the channel-last variant is pathological)
+                a_out = jnp.clip(
+                    ops.resize_bilinear_mxu(
+                        a, (fh, fw), method=statics.upsample_method, channel_last=False
+                    ),
+                    0.0,
+                    1.0,
+                )
+            out_u8 = ops.alpha_composite(
+                frames_f32,
+                a_out,
+                background=bg,
+                upsample_method=statics.upsample_method,
+                out_u8=True,
             )
-        out_u8 = ops.alpha_composite(
-            frames_f32,
-            a_out,
-            background=bg,
-            upsample_method=statics.upsample_method,
-            out_u8=True,
-        )
 
         # ---- affine merge for next frame
         if statics.face_tracking == "translation":
