@@ -53,6 +53,16 @@ def u8_mask_to_f32(mask_u8: jnp.ndarray) -> jnp.ndarray:
     return mask_u8.astype(jnp.float32) / 255.0
 
 
+def mask_to_f32(mask: jnp.ndarray) -> jnp.ndarray:
+    """Normalize any model mask dtype to float32: the multi-dtype squeeze
+    of the reference (toFloat32Squeezed, frameProcessorRVM.ts:98-121 --
+    f32 passthrough, f16 software-converted there / native here, u8 /255).
+    """
+    if mask.dtype == jnp.uint8:
+        return u8_mask_to_f32(mask)
+    return mask.astype(jnp.float32)
+
+
 def quantize_alpha_u8(alpha: jnp.ndarray) -> jnp.ndarray:
     """clamp + round(a*255)/255 -- the precision loss the reference incurs by
     routing alpha through an RGBA canvas (alphaToImageData,

@@ -69,7 +69,11 @@ class Engine:
         self.counters = Counters()
         self.health = HealthMonitor()
         self._lock = threading.Lock()
-        self._staged_knobs: list[tuple[int, dict]] = []
+        # staged knob updates coalesce per slot (last-writer-wins per key),
+        # so a chatty control plane costs at most one update per slot per
+        # step -- the explicit version of the reference's benign
+        # config-write race (script.ts:20-25, SURVEY.md §5)
+        self._staged_knobs: dict[int, dict] = {}
 
     # ---- construction -------------------------------------------------
     def _default_bundle(self, seed: int) -> runtime.ModelBundle:
@@ -142,7 +146,7 @@ class Engine:
         """Stage per-stream knob updates; applied at the next step
         boundary (config snapshot per batch, SURVEY.md §5 races)."""
         with self._lock:
-            self._staged_knobs.append((slot, kw))
+            self._staged_knobs.setdefault(slot, {}).update(kw)
 
     def reset_knobs(self, slot: int) -> None:
         """Object.assign(config, defaultConfig) equivalent (script.ts:43-46)."""
@@ -175,8 +179,8 @@ class Engine:
 
     def _apply_staged(self):
         with self._lock:
-            staged, self._staged_knobs = self._staged_knobs, []
-        for slot, kw in staged:
+            staged, self._staged_knobs = self._staged_knobs, {}
+        for slot, kw in staged.items():
             self.knobs = self.knobs.replace_stream(slot, **{
                 k: jnp.asarray(v) for k, v in kw.items()
             })
