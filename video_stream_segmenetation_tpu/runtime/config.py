@@ -144,6 +144,12 @@ class PipelineStatics:
     # matting architecture: 'feedforward' or 'recurrent' (RVM-class model
     # threading ConvGRU state through StreamState.rec)
     matting_arch: str = "feedforward"
+    # multi-class mode (BASELINE config 5): number of segmentation classes
+    # (1 = plain matting). With K > 1 the model emits [S,h,w,K] softmax
+    # maps; per-class EMA; composite applies `class_effects` (one dict per
+    # class, ops.multiclass_composite semantics; class 0 = background)
+    num_classes: int = 1
+    class_effects: tuple = ()
     # bilateral guide source: 'bilinear' (tf.js-parity resize of the f32
     # frame) or 'nearest_u8' (single-take u8 resample; fast path)
     guide_impl: str = "bilinear"

@@ -227,12 +227,73 @@ def _face_translation_subpath(bundle, params, frames_f32, state, statics, face_g
     return affine_update, has_prev, jnp.where(fire, score, 0.0), new_center, new_has_center
 
 
+def make_multiclass_step(bundle: ModelBundle, statics: PipelineStatics):
+    """Multi-class pipeline (BASELINE config 5): K-way softmax maps ->
+    per-class temporal EMA -> per-class composite effects.
+
+    The reference has no multi-class path; the refinement stages that
+    assume a single matte (morphology/prior/bilateral) are bypassed --
+    temporal smoothing happens on the class simplex (renormalized after
+    EMA), and the composite applies statics.class_effects.
+    """
+    mh, mw = statics.mask_hw
+    fh, fw = statics.frame_hw
+    k = statics.num_classes
+    effects = list(statics.class_effects) or (
+        [{"blur": statics.bg_blur_sigma}] + [{"keep": True}] * (k - 1)
+    )
+
+    def step(params, state: StreamState, frames_u8, background, knobs: PipelineKnobs, face_gate):
+        s = frames_u8.shape[0]
+        frames_f32 = frames_u8.astype(jnp.float32) / 255.0
+        small = ops.resize_bilinear(frames_f32, (mh, mw), method="asymmetric")
+        ca = bundle.matte_model.apply(params["matte"], small)["alpha"]
+        ca = ca.astype(jnp.float32)  # [S, mh, mw, K]
+
+        # per-class EMA over the class simplex; prev_alpha holds class 1..
+        # (person) history plus a stacked buffer is overkill -- store the
+        # full map in rec-like state? prev_alpha is [S,mh,mw]; keep the
+        # full [S,mh,mw,K] in state.rec for multiclass mode.
+        prev = ca if isinstance(state.rec, tuple) else state.rec
+        kk = knobs.ema[:, None, None, None]
+        init = state.initialized[:, None, None, None]
+        blended = jnp.where(init, kk * prev + (1 - kk) * ca, ca)
+        blended = blended / jnp.maximum(blended.sum(-1, keepdims=True), 1e-6)
+
+        out_u8 = ops.multiclass_composite(
+            frames_f32, blended, effects,
+            upsample_method=statics.upsample_method, out_u8=True,
+        )
+        new_state = StreamState(
+            prev_alpha=blended[..., 1:2].sum(-1) if k > 1 else blended[..., 0],
+            affine=state.affine,
+            has_affine=state.has_affine,
+            initialized=jnp.ones_like(state.initialized),
+            frame_idx=state.frame_idx + 1,
+            rec=blended,
+            face_center=state.face_center,
+            has_center=state.has_center,
+        )
+        outputs = {
+            "frame": out_u8,
+            "alpha": blended[..., 1:2].sum(-1) if k > 1 else blended[..., 0],
+            "class_alpha": blended,
+            "det_score": jnp.zeros((s,), jnp.float32),
+            "face_applied": jnp.zeros((s,), bool),
+        }
+        return new_state, outputs
+
+    return step
+
+
 def make_step(bundle: ModelBundle, statics: PipelineStatics):
     """Build the jittable step.
 
     step(params, state, frames_u8 [S,H,W,3], background [S or 1,H,W,3] f32
     0..1, knobs, face_gate [S] bool) -> (new_state, outputs dict)
     """
+    if statics.num_classes > 1:
+        return make_multiclass_step(bundle, statics)
     mh, mw = statics.mask_hw
     fh, fw = statics.frame_hw
 

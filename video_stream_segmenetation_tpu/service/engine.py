@@ -57,6 +57,11 @@ class Engine:
             )
 
             rec = rvm_init_state(num_streams, (mh, mw))
+        elif self.statics.num_classes > 1:
+            # multiclass mode keeps the smoothed class maps in rec
+            rec = jnp.zeros(
+                (num_streams, mh, mw, self.statics.num_classes), jnp.float32
+            )
         self.state = runtime.init_state(num_streams, (mh, mw), rec=rec)
         self.knobs = runtime.default_knobs(num_streams)
         # stored uint8: 4x less HBM traffic per composite; converted
@@ -83,7 +88,10 @@ class Engine:
         fh, fw = self.statics.frame_hw
         from video_stream_segmenetation_tpu import models
 
-        if self.statics.matting_arch == "recurrent":
+        if self.statics.num_classes > 1:
+            matte = models.MatteNet(num_classes=self.statics.num_classes)
+            matte_p = matte.init(k1, jnp.zeros((1, mh, mw, 3)))
+        elif self.statics.matting_arch == "recurrent":
             from video_stream_segmenetation_tpu.models.rvm import (
                 init_state as rvm_init_state,
             )
@@ -200,6 +208,7 @@ class Engine:
 
         frames_j = jnp.asarray(frames, dtype=jnp.uint8)
         degraded = self.health.state is EngineHealth.DEGRADED and not self.health.should_probe
+        extras = {}
         if degraded:
             out_frames = frames_j
             alpha = jnp.ones((self.num_streams, *self.statics.mask_hw), jnp.float32)
@@ -217,6 +226,10 @@ class Engine:
                 out_frames = out["frame"]
                 alpha = out["alpha"]
                 applied = np.asarray(out["face_applied"])
+                extras = {
+                    k: v for k, v in out.items()
+                    if k not in ("frame", "alpha", "face_applied")
+                }
                 self.health.record_success()
             except Exception as e:  # graceful per-batch degradation
                 self.health.record_failure(e)
@@ -237,6 +250,7 @@ class Engine:
             "frame": out_frames,
             "alpha": alpha,
             "metrics": self.stats(),
+            **extras,
         }
 
     # ---- observability -------------------------------------------------
