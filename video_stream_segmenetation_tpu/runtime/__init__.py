@@ -17,3 +17,8 @@ from video_stream_segmenetation_tpu.runtime.pipeline import (  # noqa: F401
     segment_once,
 )
 from video_stream_segmenetation_tpu.runtime.scheduler import StreamScheduler  # noqa: F401
+from video_stream_segmenetation_tpu.runtime.presets import (  # noqa: F401
+    describe,
+    list_presets,
+    preset,
+)

@@ -381,8 +381,11 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             use_warp, warped * w_blend + alpha_raw * (1 - w_blend), alpha_raw
         )
 
-        # ---- stage 4: temporal filter (:115 / branch variant :155-180)
-        if statics.temporal_filter == "hole_fill":
+        # ---- stage 4: temporal filter (:115 / branch variant :155-180;
+        # 'none' = the U2Net variant, which has no temporal stage)
+        if statics.temporal_filter == "none":
+            new_prev, a = base, base
+        elif statics.temporal_filter == "hole_fill":
             new_prev, a = ops.hole_filling_ema(
                 state.prev_alpha, base, knobs.ema, state.initialized
             )

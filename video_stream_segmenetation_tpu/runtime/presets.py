@@ -1,0 +1,96 @@
+"""Named pipeline presets: each of the reference's selectable pipelines
+(SURVEY.md §2.3/§2.4 -- chosen there by editing the import in main.ts:4)
+as a PipelineStatics configuration, plus the TPU-first fast path.
+
+Usage:
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+    engine = Engine(num_streams=64, statics=preset("fast"))
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from video_stream_segmenetation_tpu.runtime.config import PipelineStatics
+
+_PRESETS = {
+    # the active pipeline: frameProcessorTest.ts (landmark affine warp,
+    # morphology, elliptical prior, bilateral, live knobs)
+    "active": dict(),
+    # TPU-first fast serving configuration (same stage semantics as
+    # 'active'; fast lowerings)
+    "fast": dict(
+        matting_input="native",
+        guide_impl="nearest_u8",
+        warp_impl="separable",
+        face_compact=True,
+    ),
+    # frameProcessor.ts: BlazeFace center tracking, translation warp
+    # (gain 0.9, 50/50 blend), EMA 0.75, gamma 0.8, no morphology/prior;
+    # detector on a plain 128 resize every frame
+    "blaze_tracking": dict(
+        face_tracking="translation",
+        translation_gain=0.9,
+        warp_blend_weight=0.5,
+        lmk_interval=1,
+        morphology=False,
+        fd_size=128,
+        background="color",
+        bg_color=(20 / 255, 25 / 255, 30 / 255),  # explicitAlphaBlend bg
+    ),
+    # frameProcessor_branch.ts: warp + EMA + bilateral + refine, no
+    # FD/LMK/morphology inside (affine supplied externally); documented
+    # hole-filling temporal alternative
+    "branch": dict(
+        face_path=False,
+        morphology=False,
+        temporal_filter="hole_fill",
+    ),
+    # frameProcessorRVM.ts: recurrent matting + EMA(0.7) + composite only
+    "rvm": dict(
+        matting_arch="recurrent",
+        face_path=False,
+        morphology=False,
+    ),
+    # u2FrameProc.ts: 320-input saliency, no temporal stage, composite
+    # against a constant color (soft or hard alpha via ops.binarize_alpha)
+    "u2": dict(
+        mask_hw=(320, 320),
+        face_path=False,
+        morphology=False,
+        temporal_filter="none",
+        background="color",
+    ),
+    # BASELINE config 5: multi-class with per-class effects
+    "multiclass": dict(
+        num_classes=4,
+        class_effects=(
+            {"blur": 8.0},
+            {"keep": True},
+            {"tint": (0.9, 0.7, 0.3), "strength": 0.3},
+            {"tint": (0.3, 0.5, 0.9), "strength": 0.3},
+        ),
+    ),
+}
+
+
+def preset(name: str, **overrides) -> PipelineStatics:
+    if name not in _PRESETS:
+        raise KeyError(f"unknown preset '{name}'; have {sorted(_PRESETS)}")
+    kw = {**_PRESETS[name], **overrides}
+    return PipelineStatics(**kw)
+
+
+def list_presets() -> list[str]:
+    return sorted(_PRESETS)
+
+
+def describe(name: str) -> str:
+    base = PipelineStatics()
+    p = preset(name)
+    diffs = {
+        f.name: getattr(p, f.name)
+        for f in dataclasses.fields(PipelineStatics)
+        if getattr(p, f.name) != getattr(base, f.name)
+    }
+    return f"{name}: {diffs or 'defaults (the active frameProcessorTest pipeline)'}"
