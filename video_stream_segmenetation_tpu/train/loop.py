@@ -23,24 +23,40 @@ from video_stream_segmenetation_tpu.train.losses import iou_metric
 
 def synthetic_matting_batch(key, batch: int, hw: tuple[int, int]):
     """[B, H, W, 3] frames in [0,1] + [B, H, W] ground-truth alpha,
-    generated on device."""
+    generated on device.
+
+    Scenes cover the distribution of the clip harness
+    (utils.synthetic_clip): a soft-edged body ellipse plus a head ellipse,
+    per-pixel foreground texture, textured/noisy backgrounds, sensor
+    noise -- randomized per sample.
+    """
     h, w = hw
-    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
-    cx = jax.random.uniform(k1, (batch, 1, 1), minval=0.3 * w, maxval=0.7 * w)
-    cy = jax.random.uniform(k2, (batch, 1, 1), minval=0.4 * h, maxval=0.8 * h)
-    rx = jax.random.uniform(k3, (batch, 1, 1), minval=0.12 * w, maxval=0.25 * w)
-    ry = jax.random.uniform(k4, (batch, 1, 1), minval=0.3 * h, maxval=0.5 * h)
+    ks = jax.random.split(key, 12)
+    cx = jax.random.uniform(ks[0], (batch, 1, 1), minval=0.25 * w, maxval=0.75 * w)
+    cy = jax.random.uniform(ks[1], (batch, 1, 1), minval=0.45 * h, maxval=0.85 * h)
+    rx = jax.random.uniform(ks[2], (batch, 1, 1), minval=0.12 * w, maxval=0.28 * w)
+    ry = jax.random.uniform(ks[3], (batch, 1, 1), minval=0.28 * h, maxval=0.5 * h)
     yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
     xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    d = jnp.sqrt(((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2)
-    alpha = jnp.clip((1.05 - d) / 0.1, 0.0, 1.0)
+    edge = jax.random.uniform(ks[4], (batch, 1, 1), minval=0.05, maxval=0.2)
+    d_body = jnp.sqrt(((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2)
+    a_body = jnp.clip((1.05 - d_body) / edge, 0.0, 1.0)
+    # head: smaller ellipse above the body
+    hy = cy - ry * jax.random.uniform(ks[5], (batch, 1, 1), minval=0.9, maxval=1.2)
+    hr = rx * jax.random.uniform(ks[6], (batch, 1, 1), minval=0.35, maxval=0.55)
+    d_head = jnp.sqrt(((xx - cx) / hr) ** 2 + ((yy - hy) / (hr * 1.25)) ** 2)
+    a_head = jnp.clip((1.05 - d_head) / edge, 0.0, 1.0)
+    alpha = jnp.maximum(a_body, a_head)
 
-    fg_color = jax.random.uniform(k5, (batch, 1, 1, 3), minval=0.3, maxval=0.9)
-    bg = jax.random.uniform(k6, (batch, h, w, 3)) * 0.4
-    noise = jax.random.normal(jax.random.fold_in(k6, 1), (batch, h, w, 3)) * 0.02
-    fg = fg_color + jax.random.uniform(
-        jax.random.fold_in(k5, 1), (batch, h, w, 3), minval=-0.1, maxval=0.1
+    fg_color = jax.random.uniform(ks[7], (batch, 1, 1, 3), minval=0.25, maxval=0.9)
+    fg_tex = jax.random.uniform(ks[8], (batch, h, w, 3), minval=-0.15, maxval=0.15)
+    bg_base = jax.random.uniform(ks[9], (batch, 1, 1, 3), minval=0.0, maxval=0.5)
+    bg_tex = jax.random.uniform(ks[10], (batch, h, w, 3)) * jax.random.uniform(
+        ks[10], (batch, 1, 1, 1), minval=0.1, maxval=0.4
     )
+    noise = jax.random.normal(ks[11], (batch, h, w, 3)) * 0.02
+    fg = fg_color + fg_tex
+    bg = bg_base + bg_tex
     frame = jnp.clip(fg * alpha[..., None] + bg * (1 - alpha[..., None]) + noise, 0, 1)
     return frame, alpha
 

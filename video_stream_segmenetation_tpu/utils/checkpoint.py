@@ -22,9 +22,13 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_params(path: str, params) -> None:
+def save_params(path: str, params, overwrite: bool = True) -> None:
     """Write a param pytree to ``path`` (directory)."""
     path = os.path.abspath(path)
+    if overwrite and os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
     _checkpointer().save(path, jax.device_get(params))
 
 
