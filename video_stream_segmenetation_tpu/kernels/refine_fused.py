@@ -219,11 +219,21 @@ def fused_refine(
         out_specs=plane,
     )
 
+    kwargs = {}
+    if not interpret:
+        # streams are independent -> the grid dim is parallel; raising the
+        # scoped-vmem budget past the 16M default lets the pipeliner
+        # double-buffer freely (measured 5.8 -> 4.4 ms at S=64)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
     return pl.pallas_call(
         _refine_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, h, w), jnp.float32),
         interpret=interpret,
+        **kwargs,
     )(
         jnp.asarray(knobs_low, jnp.float32),
         jnp.asarray(knobs_high, jnp.float32),
