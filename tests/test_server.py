@@ -95,6 +95,16 @@ def test_privacy_updates_background(served):
     assert code == 409
 
 
+def test_per_stream_stats(served, rng):
+    eng, srv = served
+    eng.process((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    code, body = _get(srv.port, "/streams")
+    assert code == 200
+    assert len(body["streams"]) == 2
+    assert body["streams"][0]["frames"] >= 1
+    assert {"slot", "active", "frames", "face_affine"} <= set(body["streams"][0])
+
+
 def test_404s(served):
     _, srv = served
     code, _ = _get(srv.port, "/nope")

@@ -258,3 +258,24 @@ class Engine:
         """The counter surface: FPS / latency / total / thread-load
         (performance.ts contract) + health."""
         return {**self.counters.snapshot(), "health": self.health.snapshot()}
+
+    def stream_stats(self) -> list[dict]:
+        """Per-stream counters (SURVEY.md §5: the overlay surface *per
+        stream*): frames served, activity, face-tracking freshness."""
+        idx = np.asarray(self.state.frame_idx)
+        has_aff = np.asarray(self.state.has_affine)
+        now = time.monotonic()
+        return [
+            {
+                "slot": s,
+                "active": bool(self.active[s]),
+                "frames": int(idx[s]),
+                "face_affine": bool(has_aff[s]),
+                "last_face_s_ago": (
+                    round(now - self._last_face_at[s], 2)
+                    if self._last_face_at[s] > 0
+                    else None
+                ),
+            }
+            for s in range(self.num_streams)
+        ]

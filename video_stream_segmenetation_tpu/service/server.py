@@ -61,6 +61,7 @@ def make_handler(engine, renderers=None):
                         "active": [int(i) for i in range(engine.num_streams)
                                    if engine.active[i]],
                         "capacity": engine.num_streams,
+                        "streams": engine.stream_stats(),
                     },
                 )
             return self._json(404, {"error": "not found"})
