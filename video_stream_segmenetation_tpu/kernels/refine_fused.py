@@ -73,27 +73,10 @@ def _interior_mask(h: int, w: int) -> jnp.ndarray:
     return (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
 
 
-def _refine_kernel(
-    # scalar-prefetch refs: full [S] arrays in SMEM, indexed by program id
-    low_ref,
-    high_ref,
-    gamma_ref,
-    use_bi_ref,
-    ss_ref,
-    sr_ref,
-    has_prior_ref,
-    # tensor (VMEM) refs
-    alpha_ref,  # [1, H, W]
-    gr_ref,  # [1, H, W] guide R in 0..255 units
-    gg_ref,  # [1, H, W] guide G
-    gb_ref,  # [1, H, W] guide B
-    prior_ref,  # [1, H, W]
-    out_ref,  # [1, H, W]
-):
-    i = pl.program_id(0)
-    h, w = alpha_ref.shape[1], alpha_ref.shape[2]
-    a = alpha_ref[0]
-    prior = prior_ref[0]
+def _chain_body(i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
+                has_prior_ref, a, g_r, g_g, g_b, prior):
+    """Stages 5/7/8/9 on one [H, W] plane (shared by both kernels)."""
+    h, w = a.shape
     has_prior = has_prior_ref[i] > 0
 
     # ---- stage 5: opening (interior-only, zero borders; morphology.py)
@@ -117,11 +100,6 @@ def _refine_kernel(
     sr = sr_ref[i]
     inv_two_ss2 = 1.0 / (2.0 * ss * ss)
     inv_two_sr2 = 1.0 / (2.0 * sr * sr)
-    # guide rides in bf16 (u8 pixel values are exact integers in bf16;
-    # halves VMEM); differences are exact, squared in f32
-    g_r = gr_ref[0]
-    g_g = gg_ref[0]
-    g_b = gb_ref[0]
 
     # Shifts are composed per-axis (vertical pass, then horizontal):
     # Mosaic crashes on graphs with multiple *diagonal* slice+pad taps,
@@ -182,7 +160,100 @@ def _refine_kernel(
     clamped = jnp.where(
         prior > 0.25, jnp.maximum(v, floor), jnp.where(prior > 0, jnp.minimum(v, cap), v)
     )
-    out_ref[0] = jnp.where(has_prior, clamped, v)
+    return jnp.where(has_prior, clamped, v)
+
+
+def _refine_kernel(
+    # scalar-prefetch refs: full [S] arrays in SMEM, indexed by program id
+    low_ref,
+    high_ref,
+    gamma_ref,
+    use_bi_ref,
+    ss_ref,
+    sr_ref,
+    has_prior_ref,
+    # tensor (VMEM) refs
+    alpha_ref,  # [1, H, W]
+    gr_ref,  # [1, H, W] guide R (bf16, u8-valued)
+    gg_ref,
+    gb_ref,
+    prior_ref,  # [1, H, W]
+    out_ref,  # [1, H, W]
+):
+    i = pl.program_id(0)
+    out_ref[0] = _chain_body(
+        i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
+        has_prior_ref, alpha_ref[0], gr_ref[0], gg_ref[0], gb_ref[0],
+        prior_ref[0],
+    )
+
+
+def _temporal_refine_kernel(
+    # scalar-prefetch refs
+    low_ref,
+    high_ref,
+    gamma_ref,
+    use_bi_ref,
+    ss_ref,
+    sr_ref,
+    has_prior_ref,
+    ema_ref,  # [S] f32 EMA knob
+    use_warp_ref,  # [S] int -- has_affine & initialized
+    init_ref,  # [S] int -- EMA initialized flag
+    wb_ref,  # [S] f32 warp blend weight (0.3 active / 0.5 blaze)
+    # tensor refs
+    alpha_ref,  # [1, H, W] raw model alpha
+    prev_ref,  # [1, H, W] previous EMA accumulator
+    idx_ref,  # [1, 8, W] int32 aux: row 0 = yi (padded), row 1 = xi
+    gr_ref,
+    gg_ref,
+    gb_ref,
+    prior_ref,
+    newprev_ref,  # out: [1, H, W] updated EMA accumulator
+    out_ref,  # out: [1, H, W] refined alpha
+):
+    """Stages 3+4 (separable warp via one-hot MXU matmuls + EMA) fused in
+    front of the refinement chain -- the whole post-model mask path
+    (reference stages 3-9) in one VMEM-resident program."""
+    i = pl.program_id(0)
+    h, w = alpha_ref.shape[1], alpha_ref.shape[2]
+    a_raw = alpha_ref[0]
+    prev = prev_ref[0]
+
+    # ---- stage 3: separable nearest warp of prev (ops.warp_affine_separable)
+    # one-hot selection matrices; out-of-range indices (encoded -1 /
+    # any value outside [0, n)) produce all-zero rows = zero fill
+    yi = idx_ref[0, 0, :h]  # [H] int32 source row per output row
+    xi = idx_ref[0, 1, :w]  # [W] int32 source col per output col
+    r_sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, h), 1) == yi[:, None]
+    ).astype(jnp.float32)
+    c_sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, w), 0) == xi[None, :]
+    ).astype(jnp.float32)
+    rows = jnp.dot(
+        r_sel, prev, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    warped = jnp.dot(
+        rows, c_sel, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    wb = wb_ref[i]
+    base = jnp.where(
+        use_warp_ref[i] > 0, warped * wb + a_raw * (1.0 - wb), a_raw
+    )
+
+    # ---- stage 4: temporal EMA (first-frame copy semantics)
+    k = ema_ref[i]
+    new_prev = jnp.where(init_ref[i] > 0, k * prev + (1.0 - k) * base, base)
+    newprev_ref[0] = new_prev
+
+    out_ref[0] = _chain_body(
+        i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
+        has_prior_ref, new_prev, gr_ref[0], gg_ref[0], gb_ref[0],
+        prior_ref[0],
+    )
 
 
 def fused_refine(
@@ -248,3 +319,98 @@ def fused_refine(
         guide[..., 2],
         prior.astype(jnp.float32),
     )
+
+
+def fused_temporal_refine(
+    alpha_raw: jnp.ndarray,  # [S, H, W] raw model alpha
+    prev_alpha: jnp.ndarray,  # [S, H, W] EMA accumulator
+    affine: jnp.ndarray,  # [S, 6] mask-space affine (scale+translate used)
+    use_warp: jnp.ndarray,  # [S] bool (has_affine & initialized)
+    initialized: jnp.ndarray,  # [S] bool
+    warp_blend: float,
+    guide: jnp.ndarray,  # [S, H, W, 3] 0..255
+    prior: jnp.ndarray,
+    knobs_ema: jnp.ndarray,
+    knobs_low: jnp.ndarray,
+    knobs_high: jnp.ndarray,
+    knobs_gamma: jnp.ndarray,
+    knobs_use_bilateral: jnp.ndarray,
+    knobs_ss: jnp.ndarray,
+    knobs_sr: jnp.ndarray,
+    has_prior: jnp.ndarray,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stages 3-9 in one kernel.  Returns (new_prev, refined_alpha).
+
+    The warp is the separable (scale+translate) fast path, computed as
+    one-hot selection matmuls inside the kernel; index vectors are
+    prepared here exactly as ops.warp_affine_separable (JS Math.round,
+    out-of-range -> zero fill via all-zero one-hot rows).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, h, w = alpha_raw.shape
+    guide = jnp.floor(guide + 0.5).astype(jnp.bfloat16)
+
+    from video_stream_segmenetation_tpu.ops.warp import invert_affine
+
+    inv = invert_affine(affine)
+    y = jnp.arange(h, dtype=jnp.float32)
+    x = jnp.arange(w, dtype=jnp.float32)
+    sy = inv[..., 4:5] * y + inv[..., 5:6]  # [S, H]
+    sx = inv[..., 0:1] * x + inv[..., 2:3]  # [S, W]
+    yi = jnp.floor(sy + 0.5).astype(jnp.int32)
+    xi = jnp.floor(sx + 0.5).astype(jnp.int32)
+    yi = jnp.where((yi >= 0) & (yi < h), yi, -1)
+    xi = jnp.where((xi >= 0) & (xi < w), xi, -1)
+    # pack into a lane-aligned aux plane: [S, 8, W] (row 0: yi padded,
+    # row 1: xi); W >= H for all supported geometries
+    assert w >= h, "mask geometry must have W >= H for the index pack"
+    aux = jnp.zeros((s, 8, w), jnp.int32)
+    aux = aux.at[:, 0, :h].set(yi)
+    aux = aux.at[:, 1, :].set(xi)
+
+    plane = pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0))
+    idx_spec = pl.BlockSpec((1, 8, w), lambda i, *_: (i, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=11,
+        grid=(s,),
+        in_specs=[plane, plane, idx_spec, plane, plane, plane, plane],
+        out_specs=[plane, plane],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+    new_prev, refined = pl.pallas_call(
+        _temporal_refine_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((s, h, w), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(
+        jnp.asarray(knobs_low, jnp.float32),
+        jnp.asarray(knobs_high, jnp.float32),
+        jnp.asarray(knobs_gamma, jnp.float32),
+        jnp.asarray(knobs_use_bilateral, jnp.int32),
+        jnp.asarray(knobs_ss, jnp.float32),
+        jnp.asarray(knobs_sr, jnp.float32),
+        jnp.asarray(has_prior, jnp.int32),
+        jnp.asarray(knobs_ema, jnp.float32),
+        jnp.asarray(use_warp, jnp.int32),
+        jnp.asarray(initialized, jnp.int32),
+        jnp.full((s,), warp_blend, jnp.float32),
+        alpha_raw.astype(jnp.float32),
+        prev_alpha.astype(jnp.float32),
+        aux,
+        guide[..., 0],
+        guide[..., 1],
+        guide[..., 2],
+        prior.astype(jnp.float32),
+    )
+    return new_prev, refined

@@ -370,30 +370,6 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             has_update = jnp.zeros((s,), bool)
             det_score = jnp.zeros((s,), jnp.float32)
 
-        # ---- stage 3: motion-compensated warp of prev alpha (:102-112)
-        if statics.warp_impl == "separable":
-            warped = ops.warp_affine_separable(state.prev_alpha, state.affine)
-        else:
-            warped = ops.warp_affine_nearest(state.prev_alpha, state.affine)
-        w_blend = statics.warp_blend_weight
-        use_warp = (state.has_affine & state.initialized)[:, None, None]
-        base = jnp.where(
-            use_warp, warped * w_blend + alpha_raw * (1 - w_blend), alpha_raw
-        )
-
-        # ---- stage 4: temporal filter (:115 / branch variant :155-180;
-        # 'none' = the U2Net variant, which has no temporal stage)
-        if statics.temporal_filter == "none":
-            new_prev, a = base, base
-        elif statics.temporal_filter == "hole_fill":
-            new_prev, a = ops.hole_filling_ema(
-                state.prev_alpha, base, knobs.ema, state.initialized
-            )
-        else:
-            new_prev, a = ops.temporal_ema(
-                state.prev_alpha, base, knobs.ema, state.initialized
-            )
-
         # canvas-u8-scale RGB guide, quantized to integer pixel values
         # (the reference guide is u8 canvas data, frameProcessorTest.ts:315-321)
         guide = jnp.floor(small * 255.0 + 0.5)
@@ -402,10 +378,59 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             import jax as __jax
 
             use_fused = __jax.default_backend() == "tpu"
-        # the fused kernel bakes the morphology stages in; variants that
+        # the fused kernels bake the morphology stages in; variants that
         # disable morphology take the XLA chain
         use_fused = use_fused and statics.morphology
-        if use_fused:
+        # full fusion (stages 3-9: warp + EMA + refinement chain in one
+        # kernel) applies on the default temporal/warp configuration
+        use_fused_tr = (
+            use_fused
+            and statics.warp_impl == "separable"
+            and statics.temporal_filter == "ema"
+        )
+
+        if use_fused_tr:
+            from video_stream_segmenetation_tpu.kernels.refine_fused import (
+                fused_temporal_refine,
+            )
+
+            new_prev, a = fused_temporal_refine(
+                alpha_raw, state.prev_alpha, state.affine,
+                state.has_affine & state.initialized, state.initialized,
+                statics.warp_blend_weight, guide, prior,
+                knobs.ema, knobs.noise_cutoff, knobs.high_threshold,
+                knobs.gamma, knobs.use_bilateral, knobs.sigma_spatial,
+                knobs.sigma_range, has_prior,
+            )
+            base = None  # consumed inside the kernel
+        else:
+            # ---- stage 3: motion-compensated warp of prev alpha (:102-112)
+            if statics.warp_impl == "separable":
+                warped = ops.warp_affine_separable(state.prev_alpha, state.affine)
+            else:
+                warped = ops.warp_affine_nearest(state.prev_alpha, state.affine)
+            w_blend = statics.warp_blend_weight
+            use_warp = (state.has_affine & state.initialized)[:, None, None]
+            base = jnp.where(
+                use_warp, warped * w_blend + alpha_raw * (1 - w_blend), alpha_raw
+            )
+
+            # ---- stage 4: temporal filter (:115 / branch variant :155-180;
+            # 'none' = the U2Net variant, which has no temporal stage)
+            if statics.temporal_filter == "none":
+                new_prev, a = base, base
+            elif statics.temporal_filter == "hole_fill":
+                new_prev, a = ops.hole_filling_ema(
+                    state.prev_alpha, base, knobs.ema, state.initialized
+                )
+            else:
+                new_prev, a = ops.temporal_ema(
+                    state.prev_alpha, base, knobs.ema, state.initialized
+                )
+
+        if use_fused_tr:
+            pass  # refinement already applied inside the fused kernel
+        elif use_fused:
             # stages 5/7/8/9 in one VMEM-resident Pallas kernel
             from video_stream_segmenetation_tpu.kernels.refine_fused import fused_refine
 
