@@ -121,6 +121,34 @@ def test_hole_fill_filter_plugs_dropouts(rng):
     np.testing.assert_allclose(pe, 0.55 * 0.9 + 0.45 * 0.01, rtol=1e-5)
 
 
+def test_max_blend_warp_mode(bundle, rng):
+    """branch-variant blend: base = max(cur, warped*0.75)."""
+    import dataclasses
+
+    step, _ = _mkstep(
+        bundle, face_path=False, morphology=False,
+        warp_blend_mode="max", warp_blend_weight=0.75,
+        use_fused_refine=False,
+    )
+    S = 1
+    frames = jnp.asarray((rng.random((S, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    knobs = runtime.default_knobs(S)
+    bg = jnp.zeros((S, *FRAME_HW, 3))
+    state = runtime.init_state(S, MASK_HW)
+    # prime: high prev alpha + identity affine present
+    state = dataclasses.replace(
+        state,
+        prev_alpha=jnp.full((S, *MASK_HW), 0.95),
+        has_affine=jnp.ones((S,), bool),
+        initialized=jnp.ones((S,), bool),
+    )
+    st, out = step(bundle.params, state, frames, bg, knobs, jnp.zeros((S,), bool))
+    # max-blend floor: base >= warped*0.75 = 0.7125 -> EMA(0.55) of
+    # prev 0.95 and base>=0.7125 keeps prev_alpha >= 0.843 in the warp's
+    # valid region (identity warp -> everywhere)
+    assert float(np.asarray(st.prev_alpha).min()) >= 0.55 * 0.95 + 0.45 * 0.7125 - 1e-5
+
+
 def test_morphology_off_variant(bundle, rng):
     step_on, _ = _mkstep(bundle, face_path=False, morphology=True)
     step_off, _ = _mkstep(bundle, face_path=False, morphology=False)

@@ -88,6 +88,10 @@ class PipelineStatics:
     lmk_interval: int = 6  # LANDMARK_INTERVAL (main.ts:10)
     warp_gain: float = 0.7  # WARP_GAIN (main.ts:12)
     warp_blend_weight: float = 0.3  # WARP_BLEND_WEIGHT (frameProcessorTest.ts:108)
+    # warp blend mode: 'lerp' (active pipeline, wb*warped + (1-wb)*cur) or
+    # 'max' (the branch variant: max(cur, warped*warp_blend_weight),
+    # frameProcessor_branch.ts:83-88 with 0.75)
+    warp_blend_mode: str = "lerp"
     face_score_thresh: float = 0.6  # FACE_SCORE_THRESH (:35)
     lmk_score_thresh: float = 0.3  # (:143)
     roi_pad: float = 0.25  # cropFaceROI pad (:139)

@@ -387,6 +387,7 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             use_fused
             and statics.warp_impl == "separable"
             and statics.temporal_filter == "ema"
+            and statics.warp_blend_mode == "lerp"
         )
 
         if use_fused_tr:
@@ -411,9 +412,11 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 warped = ops.warp_affine_nearest(state.prev_alpha, state.affine)
             w_blend = statics.warp_blend_weight
             use_warp = (state.has_affine & state.initialized)[:, None, None]
-            base = jnp.where(
-                use_warp, warped * w_blend + alpha_raw * (1 - w_blend), alpha_raw
-            )
+            if statics.warp_blend_mode == "max":
+                blended = jnp.maximum(alpha_raw, warped * w_blend)
+            else:
+                blended = warped * w_blend + alpha_raw * (1 - w_blend)
+            base = jnp.where(use_warp, blended, alpha_raw)
 
             # ---- stage 4: temporal filter (:115 / branch variant :155-180;
             # 'none' = the U2Net variant, which has no temporal stage)

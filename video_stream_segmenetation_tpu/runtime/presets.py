@@ -45,6 +45,8 @@ _PRESETS = {
         face_path=False,
         morphology=False,
         temporal_filter="hole_fill",
+        warp_blend_mode="max",
+        warp_blend_weight=0.75,  # max(cur, warped*0.75), branch :83-88
     ),
     # frameProcessorRVM.ts: recurrent matting + EMA(0.7) + composite only
     "rvm": dict(
