@@ -181,6 +181,42 @@ uint64_t vst_stream_drops(void* pool, int s) {
     return static_cast<Pool*>(pool)->rings[s].drops.load(std::memory_order_relaxed);
 }
 
+// ---- output side: RGB -> I420 for the video-encoder handoff ---------------
+// (BT.601 full-swing inverse of vst_push_i420's decode; the "output
+// encode" stage of the IO pipeline, SURVEY.md §7 step 6.)
+void vst_rgb_to_i420(const uint8_t* rgb, int width, int height,
+                     uint8_t* y_out, uint8_t* u_out, uint8_t* v_out) {
+    for (int r = 0; r < height; ++r) {
+        const uint8_t* row = rgb + static_cast<size_t>(r) * width * 3;
+        uint8_t* yr = y_out + static_cast<size_t>(r) * width;
+        for (int c = 0; c < width; ++c) {
+            int R = row[c * 3], G = row[c * 3 + 1], B = row[c * 3 + 2];
+            yr[c] = clamp_u8(((66 * R + 129 * G + 25 * B + 128) >> 8) + 16);
+        }
+    }
+    int hw = width / 2, hh = height / 2;
+    for (int r = 0; r < hh; ++r) {
+        uint8_t* ur = u_out + static_cast<size_t>(r) * hw;
+        uint8_t* vr = v_out + static_cast<size_t>(r) * hw;
+        for (int c = 0; c < hw; ++c) {
+            // average the 2x2 block
+            int R = 0, G = 0, B = 0;
+            for (int dy = 0; dy < 2; ++dy) {
+                const uint8_t* row =
+                    rgb + static_cast<size_t>(2 * r + dy) * width * 3;
+                for (int dx = 0; dx < 2; ++dx) {
+                    R += row[(2 * c + dx) * 3];
+                    G += row[(2 * c + dx) * 3 + 1];
+                    B += row[(2 * c + dx) * 3 + 2];
+                }
+            }
+            R /= 4; G /= 4; B /= 4;
+            ur[c] = clamp_u8(((-38 * R - 74 * G + 112 * B + 128) >> 8) + 128);
+            vr[c] = clamp_u8(((112 * R - 94 * G - 18 * B + 128) >> 8) + 128);
+        }
+    }
+}
+
 int vst_frame_bytes(void* pool) {
     return static_cast<int>(static_cast<Pool*>(pool)->frame_bytes);
 }

@@ -116,6 +116,24 @@ def test_concurrent_producers(rng):
     pool.close()
 
 
+def test_rgb_i420_roundtrip(rng):
+    """RGB -> I420 -> RGB through the native converters stays close."""
+    pool = native.FramePool(1, H, W)
+    # smooth gradient: 2x2 chroma subsampling loses almost nothing
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    rgb = np.stack(
+        [60 + xx / W * 120, 80 + yy / H * 100, 100 + (xx + yy) / (H + W) * 80],
+        axis=-1,
+    ).astype(np.uint8)
+    y, u, v = native.rgb_to_i420(rgb)
+    assert y.shape == (H, W) and u.shape == (H // 2, W // 2)
+    pool.push_i420(0, y, u, v)
+    batch, _ = pool.assemble()
+    diff = np.abs(batch[0].astype(np.int16) - rgb.astype(np.int16))
+    assert diff.mean() < 3.0 and diff.max() <= 12
+    pool.close()
+
+
 def test_drop_counter(rng):
     pool = native.FramePool(1, H, W)
     f = np.zeros((H, W, 3), np.uint8)

@@ -15,6 +15,7 @@ from video_stream_segmenetation_tpu.ops.resize import (  # noqa: F401
 from video_stream_segmenetation_tpu.ops.color import (  # noqa: F401
     normalize_frame,
     denormalize_to_u8,
+    mask_to_f32,
     u8_mask_to_f32,
     quantize_alpha_u8,
 )

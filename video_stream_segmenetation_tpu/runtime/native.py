@@ -48,8 +48,31 @@ def _load():
     lib.vst_stream_drops.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.vst_frame_bytes.restype = ctypes.c_int
     lib.vst_frame_bytes.argtypes = [ctypes.c_void_p]
+    lib.vst_rgb_to_i420.restype = None
+    lib.vst_rgb_to_i420.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+    ]
     _lib = lib
     return lib
+
+
+def rgb_to_i420(frame: np.ndarray):
+    """uint8 [H, W, 3] -> (Y [H, W], U [H/2, W/2], V [H/2, W/2]) planes
+    (BT.601) -- the encoder-handoff side of the native IO pipeline."""
+    lib = _load()
+    h, w, _ = frame.shape
+    frame = np.ascontiguousarray(frame, np.uint8)
+    y = np.empty((h, w), np.uint8)
+    u = np.empty((h // 2, w // 2), np.uint8)
+    v = np.empty((h // 2, w // 2), np.uint8)
+    lib.vst_rgb_to_i420(
+        frame.ctypes.data_as(ctypes.c_char_p), w, h,
+        y.ctypes.data_as(ctypes.c_char_p),
+        u.ctypes.data_as(ctypes.c_char_p),
+        v.ctypes.data_as(ctypes.c_char_p),
+    )
+    return y, u, v
 
 
 def native_available() -> bool:
