@@ -253,6 +253,55 @@ class Engine:
             **extras,
         }
 
+    def process_chunked(self, frames: np.ndarray, chunk_size: int) -> dict:
+        """Latency-oriented step: dispatch the batch as consecutive
+        sub-batches of ``chunk_size`` streams.
+
+        Streams are independent, so results are identical to `process`;
+        the first chunk's frames are ready after roughly a chunk-sized
+        step (e.g. at S=64 on v5e: full step 31.6 ms vs ~10.5 ms for a
+        16-stream chunk -- benchmarks/RESULTS.md latency sweep), at some
+        total-throughput cost.  JAX async dispatch pipelines the chunks.
+        """
+        if self.num_streams % chunk_size:
+            raise ValueError("chunk_size must divide num_streams")
+        t0 = time.perf_counter()
+        self._apply_staged()
+        now = time.monotonic()
+        gate_np = (now - self._last_face_at) >= self.face_min_interval_s
+        frames_j = jnp.asarray(frames, dtype=jnp.uint8)
+
+        def rows(tree, i0, i1):
+            return jax.tree_util.tree_map(lambda x: x[i0:i1], tree)
+
+        new_states, outs = [], []
+        t1 = time.perf_counter()
+        for i0 in range(0, self.num_streams, chunk_size):
+            i1 = i0 + chunk_size
+            st, out = self._step(
+                self.bundle.params,
+                rows(self.state, i0, i1),
+                frames_j[i0:i1],
+                self.backgrounds[i0:i1],
+                rows(self.knobs, i0, i1),
+                jnp.asarray(gate_np[i0:i1]),
+            )
+            new_states.append(st)
+            outs.append(out)
+        jax.block_until_ready(outs[-1]["frame"])
+        concat = lambda trees: jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *trees
+        )
+        self.state = concat(new_states)
+        out = concat(outs)
+        applied = np.asarray(out["face_applied"])
+        self._last_face_at[applied] = now
+        t2 = time.perf_counter()
+        n_active = int(self.active.sum()) or self.num_streams
+        self.counters.record_step(n_active, (t2 - t1) * 1e3, (t2 - t0) * 1e3)
+        self.health.record_success()
+        return {"frame": out["frame"], "alpha": out["alpha"], "metrics": self.stats()}
+
     # ---- observability -------------------------------------------------
     def stats(self) -> dict:
         """The counter surface: FPS / latency / total / thread-load
