@@ -156,12 +156,20 @@ def _face_subpath_compact(bundle, params, frames_f32, state, statics, face_gate)
 
     k = statics.face_batch or max(1, -(-s // statics.lmk_interval))
     if k >= s:
-        return _face_subpath(bundle, params, frames_f32, fire, statics)
+        full = frames_f32
+        if full.dtype == jnp.uint8:
+            full = full.astype(jnp.float32) / 255.0
+        return _face_subpath(bundle, params, full, fire, statics)
 
     (idxs,) = jnp.where(fire, size=k, fill_value=s)
     sel_valid = idxs < s
     safe = jnp.minimum(idxs, s - 1)
-    f_sel = jnp.take(frames_f32, safe, axis=0)
+    # gather in uint8 FIRST, then convert: keeps the full-batch f32 frame
+    # conversion out of the hot path (700 MB at S=64x720p)
+    if frames_f32.dtype == jnp.uint8:
+        f_sel = jnp.take(frames_f32, safe, axis=0).astype(jnp.float32) / 255.0
+    else:
+        f_sel = jnp.take(frames_f32, safe, axis=0)
 
     prior_k, has_prior_k, aff_k, has_upd_k, score_k = _face_subpath(
         bundle, params, f_sel, sel_valid, statics
@@ -353,16 +361,18 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             prior = jnp.zeros((s, mh, mw), jnp.float32)
             has_prior = jnp.zeros((s,), bool)
         elif statics.face_path and bundle.face_model is not None:
-            face_fn = (
-                _face_subpath_compact
-                if statics.face_compact
-                else lambda b, p, f, st, stat, g: _face_subpath(
-                    b, p, f, ((st.frame_idx % stat.lmk_interval) == 0) & g, stat
+            if statics.face_compact:
+                # pass raw u8: the compact path converts post-gather
+                prior, has_prior, affine_update, has_update, det_score = (
+                    _face_subpath_compact(
+                        bundle, params, frames_u8, state, statics, face_gate
+                    )
                 )
-            )
-            prior, has_prior, affine_update, has_update, det_score = face_fn(
-                bundle, params, frames_f32, state, statics, face_gate
-            )
+            else:
+                fire = ((state.frame_idx % statics.lmk_interval) == 0) & face_gate
+                prior, has_prior, affine_update, has_update, det_score = (
+                    _face_subpath(bundle, params, frames_f32, fire, statics)
+                )
         else:
             prior = jnp.zeros((s, mh, mw), jnp.float32)
             has_prior = jnp.zeros((s,), bool)
