@@ -54,7 +54,7 @@ def test_pipeline_mxu_vs_gather_consistency(rng):
         statics = runtime.PipelineStatics(
             frame_hw=FRAME_HW, mask_hw=MASK_HW, fd_size=64, lmk_size=48,
             background="color", face_path=False, resize_impl=impl,
-            preprocess_precision="exact",
+            preprocess_precision="exact", upsample_precision="exact",
         )
         step = jax.jit(runtime.make_step(bundle, statics))
         state = runtime.init_state(2, MASK_HW)

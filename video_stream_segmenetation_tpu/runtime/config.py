@@ -127,6 +127,9 @@ class PipelineStatics:
     # alpha upsample lowering: 'mxu' (channelless interp matmuls -- layout
     # clean, exact taps) or 'gather'
     upsample_impl: str = "mxu"
+    # mxu upsample matmul precision: 'fast' (single bf16 pass; error
+    # < 1 u8 step on the composited output) or 'exact' (f32 passes)
+    upsample_precision: str = "fast"
     # Pallas fused stencil chain: True / False / 'auto' (= on TPU only;
     # elsewhere the XLA chain runs -- the pallas interpreter is too slow)
     use_fused_refine: Any = "auto"

@@ -516,11 +516,19 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 bg = jnp.broadcast_to(bg, frames_f32.shape)
             a_out = a
             if statics.upsample_impl == "mxu":
+                import jax as ____jax
+
+                prec = (
+                    ____jax.lax.Precision.DEFAULT
+                    if statics.upsample_precision == "fast"
+                    else ____jax.lax.Precision.HIGHEST
+                )
                 # channelless planar resize contracts cleanly on the MXU
-                # (f32-exact taps; the channel-last variant is pathological)
+                # (exact taps; the channel-last variant is pathological)
                 a_out = jnp.clip(
                     ops.resize_bilinear_mxu(
-                        a, (fh, fw), method=statics.upsample_method, channel_last=False
+                        a, (fh, fw), method=statics.upsample_method,
+                        channel_last=False, precision=prec,
                     ),
                     0.0,
                     1.0,
