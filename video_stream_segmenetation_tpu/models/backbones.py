@@ -16,6 +16,44 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class PatchifiedConv(nn.Module):
+    """``nn.Conv`` stand-in for the stride==kernel case when the input
+    arrives space-to-depth packed ``[.., H/k, W/k, k*k*cin]`` (uint8 or
+    [0,1] float): the conv collapses to one ``[k*k*cin, features]``
+    matmul the MXU runs at full tilt -- no im2col, no layout shuffle
+    (tools/bench_stem.py: 5.4 ms -> 1.5 ms for the 720p stem at S=64).
+
+    The kernel param has the same name ("kernel") and HWIO shape as
+    ``nn.Conv``'s, and the patch order (dy,dx,c) matches the HWIO
+    row-major reshape, so checkpoints are interchangeable between the
+    natural-layout and s2d paths (instantiate with ``name="Conv_0"`` to
+    share ``nn.Conv``'s auto-name).
+
+    uint8 inputs are consumed directly; the reference's /255 preprocess
+    scale (client/src/core/frameProcessorTest.ts:82) folds into the
+    weights.
+    """
+
+    features: int
+    kernel: tuple[int, int]
+    in_features: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, self.in_features, self.features),
+            jnp.float32,
+        )
+        w = k.reshape(kh * kw * self.in_features, self.features)
+        if x.dtype == jnp.uint8:
+            w = w / 255.0
+        return x.astype(self.dtype) @ w.astype(self.dtype)
+
+
 class ConvBN(nn.Module):
     """Conv + BatchNorm + optional activation.
 
@@ -36,19 +74,35 @@ class ConvBN(nn.Module):
     dilation: tuple[int, int] = (1, 1)
     act: bool = True
     dtype: Any = jnp.bfloat16
+    # input arrives space-to-depth packed (see PatchifiedConv); requires
+    # kernel == strides, groups == 1, dilation == 1
+    patch_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.strides,
-            padding="SAME",
-            feature_group_count=self.groups,
-            kernel_dilation=self.dilation,
-            use_bias=False,
-            dtype=self.dtype,
-        )(x)
+        if self.patch_input:
+            if (
+                self.kernel != self.strides
+                or self.groups != 1
+                or self.dilation != (1, 1)
+            ):
+                raise ValueError("patch_input needs kernel==strides, no groups/dilation")
+            cin = x.shape[-1] // (self.kernel[0] * self.kernel[1])
+            x = PatchifiedConv(
+                self.features, self.kernel, in_features=cin,
+                dtype=self.dtype, name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding="SAME",
+                feature_group_count=self.groups,
+                kernel_dilation=self.dilation,
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         if self.act:
             x = nn.relu6(x)

@@ -60,17 +60,25 @@ class MatteNetHD(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if x.dtype == jnp.uint8:
-            x = x.astype(self.dtype) / 255.0
-        else:
-            x = x.astype(self.dtype)
-
         def c(n):
             return max(16, int(n * self.width) // 16 * 16)
 
         ss = self.stem_stride
-        # stem: learned downsample (720p/5 = 144x256)
-        x0 = ConvBN(c(32), (ss, ss), strides=(ss, ss), dtype=self.dtype)(x, train)
+        # stem: learned downsample (720p/5 = 144x256).  Two input layouts:
+        # natural [S,H,W,3] (conv path) or space-to-depth packed
+        # [S,H/ss,W/ss,ss*ss*3] uint8 / [0,1] float (ops/layout.py) -- the
+        # stem collapses to one MXU matmul, same params either way
+        # (backbones.PatchifiedConv).
+        patched = x.shape[-1] == 3 * ss * ss
+        if not patched:
+            if x.dtype == jnp.uint8:
+                x = x.astype(self.dtype) / 255.0
+            else:
+                x = x.astype(self.dtype)
+        x0 = ConvBN(
+            c(32), (ss, ss), strides=(ss, ss), dtype=self.dtype,
+            patch_input=patched,
+        )(x, train)
 
         d1 = ConvBN(c(64), strides=(2, 2), dtype=self.dtype)(x0, train)  # 72x128
         d1 = _Block(c(64), dtype=self.dtype)(d1, train)

@@ -59,3 +59,10 @@ from video_stream_segmenetation_tpu.ops.composite import (  # noqa: F401
     upsample_alpha,
 )
 from video_stream_segmenetation_tpu.ops.blur import gaussian_blur, box_blur  # noqa: F401
+from video_stream_segmenetation_tpu.ops.layout import (  # noqa: F401
+    space_to_depth,
+    depth_to_space,
+    guide_from_s2d,
+    alpha_composite_s2d,
+    packed_color,
+)

@@ -148,6 +148,22 @@ class PipelineStatics:
     # model); 'native' = the model ingests full-res uint8 frames directly
     # (MatteNetHD strided stem -- the TPU-first fast path)
     matting_input: str = "resized"
+    # face-subpath image source: 'frames' (reference-exact: the FD
+    # letterbox and the landmark ROI crop sample the full-res frame,
+    # frameProcessorTest.ts:397-404,451-470) or 'guide' (sample the
+    # mask-res guide image instead -- the detector input is only 256px
+    # and the ROI 192px, so mask-res source loses little, and in s2d
+    # mode it avoids reconstructing the natural frame layout on device
+    # entirely, ~9 ms/64-stream step)
+    face_input: str = "frames"
+    # device frame layout: 'natural' [S,H,W,3] or 's2d' space-to-depth
+    # packed [S,H/b,W/b,b*b*3] (b = s2d_block = the MatteNetHD stem
+    # stride).  's2d' is the TPU-first ingestion format: the native
+    # framebuf writes batches in patch order for free and the stem
+    # becomes a single MXU matmul (ops/layout.py).  Requires
+    # matting_input='native'.
+    frame_layout: str = "natural"
+    s2d_block: int = 5
     # matting architecture: 'feedforward' or 'recurrent' (RVM-class model
     # threading ConvGRU state through StreamState.rec)
     matting_arch: str = "feedforward"

@@ -137,7 +137,9 @@ def _face_subpath(bundle, params, frames_f32, fire, statics: PipelineStatics):
     return prior, det_ok, affine_update, lmk_ok, jnp.where(fire, score, 0.0)
 
 
-def _face_subpath_compact(bundle, params, frames_f32, state, statics, face_gate):
+def _face_subpath_compact(
+    bundle, params, frames, state, statics, face_gate, s2d_block=None
+):
     """Cadence-compacted stage 6: gather the <= K streams whose cadence
     fires this step (K = ceil(S / lmk_interval) with staggered admission,
     runtime/scheduler.py), run the face models on that compact batch, and
@@ -148,28 +150,33 @@ def _face_subpath_compact(bundle, params, frames_f32, state, statics, face_gate)
     If more than K streams fire in one step (unstaggered admission), the
     overflow streams simply skip this round -- the reference's own
     in-flight gate drops landmark rounds the same way (main.ts:55-64).
+
+    ``frames`` may be natural [S,H,W,3] or (s2d_block set) space-to-depth
+    packed; the natural layout is reconstructed only for the gathered
+    cadence subset.
     """
-    s = frames_f32.shape[0]
+    s = frames.shape[0]
     mh, mw = statics.mask_hw
     cadence = (state.frame_idx % statics.lmk_interval) == 0
     fire = cadence & face_gate
 
+    def to_f32(x):
+        if s2d_block:
+            x = ops.depth_to_space(x, s2d_block)
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        return x
+
     k = statics.face_batch or max(1, -(-s // statics.lmk_interval))
     if k >= s:
-        full = frames_f32
-        if full.dtype == jnp.uint8:
-            full = full.astype(jnp.float32) / 255.0
-        return _face_subpath(bundle, params, full, fire, statics)
+        return _face_subpath(bundle, params, to_f32(frames), fire, statics)
 
     (idxs,) = jnp.where(fire, size=k, fill_value=s)
     sel_valid = idxs < s
     safe = jnp.minimum(idxs, s - 1)
     # gather in uint8 FIRST, then convert: keeps the full-batch f32 frame
     # conversion out of the hot path (700 MB at S=64x720p)
-    if frames_f32.dtype == jnp.uint8:
-        f_sel = jnp.take(frames_f32, safe, axis=0).astype(jnp.float32) / 255.0
-    else:
-        f_sel = jnp.take(frames_f32, safe, axis=0)
+    f_sel = to_f32(jnp.take(frames, safe, axis=0))
 
     prior_k, has_prior_k, aff_k, has_upd_k, score_k = _face_subpath(
         bundle, params, f_sel, sel_valid, statics
@@ -301,9 +308,14 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
     0..1, knobs, face_gate [S] bool) -> (new_state, outputs dict)
     """
     if statics.num_classes > 1:
+        if statics.frame_layout == "s2d":
+            raise ValueError("frame_layout='s2d' is not supported in multiclass mode")
         return make_multiclass_step(bundle, statics)
     mh, mw = statics.mask_hw
     fh, fw = statics.frame_hw
+    s2d = statics.frame_layout == "s2d"
+    if s2d and statics.matting_input != "native":
+        raise ValueError("frame_layout='s2d' requires matting_input='native'")
 
     import jax as _jax
 
@@ -320,8 +332,16 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         _resize_down = lambda f: ops.resize_bilinear(f, (mh, mw), method="asymmetric")
 
     def step(params, state: StreamState, frames_u8, background, knobs: PipelineKnobs, face_gate):
+        """frames_u8: [S,H,W,3] natural, or s2d-packed [S,H/b,W/b,b*b*3]
+        when statics.frame_layout == 's2d' (ops/layout.py)."""
         s = frames_u8.shape[0]
-        frames_f32 = frames_u8.astype(jnp.float32) / 255.0
+        # natural-layout view: the matting model consumes frames_u8 as
+        # delivered (the packed layout feeds the stem matmul directly);
+        # the composite / face-resize stages read the natural layout
+        frames_nat = (
+            ops.depth_to_space(frames_u8, statics.s2d_block) if s2d else frames_u8
+        )
+        frames_f32 = frames_nat.astype(jnp.float32) / 255.0
 
         # ---- stages 1+2: preprocess + matting forward
         new_rec = state.rec
@@ -337,7 +357,16 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             # IS the resize (see models/mattenet_hd.py)
             alpha_raw = bundle.matte_model.apply(params["matte"], frames_u8)["alpha"]
             if statics.guide_impl == "nearest_u8":
-                guide_u8 = ops.resize_nearest(frames_u8, (mh, mw), method="half_pixel")
+                if s2d:
+                    # periodic-tap lane gather straight off the packed
+                    # frames -- no natural-layout round trip
+                    guide_u8 = ops.guide_from_s2d(
+                        frames_u8, (fh, fw), (mh, mw), statics.s2d_block
+                    )
+                else:
+                    guide_u8 = ops.resize_nearest(
+                        frames_u8, (mh, mw), method="half_pixel"
+                    )
                 small = guide_u8.astype(jnp.float32) / 255.0
             else:
                 small = _resize_down(frames_f32)
@@ -348,6 +377,16 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         alpha_raw = alpha_raw.astype(jnp.float32)
 
         # ---- stage 6 (computed early; applied by masks below)
+        # face-source selection: full-res frames (reference-exact) or the
+        # mask-res guide (face_input='guide': FD/ROI sample `small`,
+        # coordinates live in mask space so frame_hw := mask_hw)
+        if statics.face_input == "guide":
+            fstat = dataclasses.replace(statics, frame_hw=(mh, mw))
+            face_src, face_src_u8, face_blk = small, small, None
+        else:
+            fstat = statics
+            face_src, face_src_u8 = frames_f32, frames_u8
+            face_blk = statics.s2d_block if s2d else None
         new_center, new_has_center = state.face_center, state.has_center
         if (
             statics.face_path
@@ -356,22 +395,24 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         ):
             (affine_update, has_update, det_score, new_center, new_has_center
              ) = _face_translation_subpath(
-                bundle, params, frames_f32, state, statics, face_gate
+                bundle, params, face_src, state, fstat, face_gate
             )
             prior = jnp.zeros((s, mh, mw), jnp.float32)
             has_prior = jnp.zeros((s,), bool)
         elif statics.face_path and bundle.face_model is not None:
             if statics.face_compact:
-                # pass raw u8: the compact path converts post-gather
+                # pass raw u8 where possible: the compact path converts
+                # post-gather
                 prior, has_prior, affine_update, has_update, det_score = (
                     _face_subpath_compact(
-                        bundle, params, frames_u8, state, statics, face_gate
+                        bundle, params, face_src_u8, state, fstat, face_gate,
+                        s2d_block=face_blk,
                     )
                 )
             else:
                 fire = ((state.frame_idx % statics.lmk_interval) == 0) & face_gate
                 prior, has_prior, affine_update, has_update, det_score = (
-                    _face_subpath(bundle, params, frames_f32, fire, statics)
+                    _face_subpath(bundle, params, face_src, fire, fstat)
                 )
         else:
             prior = jnp.zeros((s, mh, mw), jnp.float32)
@@ -484,13 +525,41 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             and statics.background in ("image", "color")
             and fh % ROW_BLOCK == 0
         )
-        if use_fc:
+        if s2d and statics.background in ("image", "color"):
+            # packed-layout composite: upsample + blend without ever
+            # reconstructing the natural layout on device (ops/layout.py;
+            # a full-batch depth_to_space costs ~27 ms at S=64x720p)
+            blk = statics.s2d_block
+            if statics.background == "color":
+                bg_p = jnp.broadcast_to(
+                    ops.packed_color(statics.bg_color, blk), frames_u8.shape
+                )
+            else:
+                bg_p = background
+                if bg_p.shape[-1] == 3:  # direct step callers: pack here
+                    if bg_p.dtype != jnp.uint8:
+                        bg_p = jnp.clip(
+                            jnp.floor(bg_p.astype(jnp.float32) * 255.0 + 0.5),
+                            0, 255,
+                        ).astype(jnp.uint8)
+                    bg_p = ops.space_to_depth(bg_p, blk)
+                bg_p = jnp.broadcast_to(bg_p, frames_u8.shape)
+            prec = (
+                _jax.lax.Precision.DEFAULT
+                if statics.upsample_precision == "fast"
+                else _jax.lax.Precision.HIGHEST
+            )
+            out_u8 = ops.alpha_composite_s2d(
+                frames_u8, a, bg_p, (fh, fw), blk,
+                method=statics.upsample_method, precision=prec,
+            )
+        elif use_fc:
             if statics.background == "color":
                 bg_u8 = jnp.broadcast_to(
                     jnp.floor(
                         jnp.asarray(statics.bg_color, jnp.float32) * 255.0 + 0.5
                     ).astype(jnp.uint8),
-                    frames_u8.shape,
+                    frames_nat.shape,
                 )
             else:
                 bg_u8 = background
@@ -498,9 +567,9 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                     bg_u8 = jnp.clip(
                         jnp.floor(bg_u8 * 255.0 + 0.5), 0, 255
                     ).astype(jnp.uint8)
-                bg_u8 = jnp.broadcast_to(bg_u8, frames_u8.shape)
+                bg_u8 = jnp.broadcast_to(bg_u8, frames_nat.shape)
             out_u8 = fused_composite(
-                frames_u8, a, bg_u8, method=statics.upsample_method
+                frames_nat, a, bg_u8, method=statics.upsample_method
             )
         else:
             if statics.background == "blur":

@@ -65,10 +65,30 @@ class Engine:
         self.state = runtime.init_state(num_streams, (mh, mw), rec=rec)
         self.knobs = runtime.default_knobs(num_streams)
         # stored uint8: 4x less HBM traffic per composite; converted
-        # on the fly inside the fused step
-        self.backgrounds = jnp.zeros((num_streams, fh, fw, 3), jnp.uint8)
+        # on the fly inside the fused step.  In s2d mode backgrounds are
+        # cached pre-packed so the step never pays a layout conversion.
+        if self.statics.frame_layout == "s2d":
+            blk = self.statics.s2d_block
+            self.backgrounds = jnp.zeros(
+                (num_streams, fh // blk, fw // blk, blk * blk * 3), jnp.uint8
+            )
+        else:
+            self.backgrounds = jnp.zeros((num_streams, fh, fw, 3), jnp.uint8)
         self._last_face_at = np.zeros((num_streams,), np.float64)
         self.face_min_interval_s = 0.180  # L_MIN_MS (main.ts:11)
+
+        # s2d ingestion: the step consumes space-to-depth packed frames
+        # (ops/layout.py); natural-layout input to process() is packed
+        # here (the native framebuf delivers packed batches directly)
+        if self.statics.frame_layout == "s2d":
+            from video_stream_segmenetation_tpu import ops as _ops
+
+            blk = self.statics.s2d_block
+            self._pack_frames = jax.jit(lambda f: _ops.space_to_depth(f, blk))
+            self._unpack_frames = jax.jit(lambda f: _ops.depth_to_space(f, blk))
+        else:
+            self._pack_frames = None
+            self._unpack_frames = None
 
         self.active = np.zeros((num_streams,), bool)
         self.counters = Counters()
@@ -183,6 +203,8 @@ class Engine:
         if img.shape[:2] != (fh, fw):
             img = ops.resize_bilinear(img, (fh, fw), method="half_pixel")
         img_u8 = jnp.clip(jnp.floor(img * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
+        if self._pack_frames is not None:
+            img_u8 = ops.space_to_depth(img_u8, self.statics.s2d_block)
         self.backgrounds = self.backgrounds.at[slot].set(img_u8)
 
     def _apply_staged(self):
@@ -206,11 +228,14 @@ class Engine:
             (now - self._last_face_at) >= self.face_min_interval_s
         )
 
-        frames_j = jnp.asarray(frames, dtype=jnp.uint8)
+        frames_in = jnp.asarray(frames, dtype=jnp.uint8)
+        frames_j = frames_in
+        if self._pack_frames is not None and frames_j.shape[-1] == 3:
+            frames_j = self._pack_frames(frames_j)
         degraded = self.health.state is EngineHealth.DEGRADED and not self.health.should_probe
         extras = {}
         if degraded:
-            out_frames = frames_j
+            out_frames = frames_in
             alpha = jnp.ones((self.num_streams, *self.statics.mask_hw), jnp.float32)
             applied = np.zeros((self.num_streams,), bool)
             t1 = t0
@@ -224,6 +249,11 @@ class Engine:
                 jax.block_until_ready(out["frame"])
                 self.state = new_state
                 out_frames = out["frame"]
+                # packed-composite output -> natural layout for the host
+                # API (the native encode stage unpacks for free instead
+                # when serving through runtime/native.py)
+                if self._unpack_frames is not None and out_frames.shape[-1] != 3:
+                    out_frames = self._unpack_frames(out_frames)
                 alpha = out["alpha"]
                 applied = np.asarray(out["face_applied"])
                 extras = {
@@ -235,7 +265,7 @@ class Engine:
                 self.health.record_failure(e)
                 # passthrough: input frames unmodified (drop-to-passthrough
                 # on model error, SURVEY.md §5)
-                out_frames = frames_j
+                out_frames = frames_in
                 alpha = jnp.ones((self.num_streams, *self.statics.mask_hw), jnp.float32)
                 applied = np.zeros((self.num_streams,), bool)
                 t1 = t0
@@ -270,6 +300,8 @@ class Engine:
         now = time.monotonic()
         gate_np = (now - self._last_face_at) >= self.face_min_interval_s
         frames_j = jnp.asarray(frames, dtype=jnp.uint8)
+        if self._pack_frames is not None and frames_j.shape[-1] == 3:
+            frames_j = self._pack_frames(frames_j)
 
         def rows(tree, i0, i1):
             return jax.tree_util.tree_map(lambda x: x[i0:i1], tree)
@@ -300,7 +332,10 @@ class Engine:
         n_active = int(self.active.sum()) or self.num_streams
         self.counters.record_step(n_active, (t2 - t1) * 1e3, (t2 - t0) * 1e3)
         self.health.record_success()
-        return {"frame": out["frame"], "alpha": out["alpha"], "metrics": self.stats()}
+        out_frames = out["frame"]
+        if self._unpack_frames is not None and out_frames.shape[-1] != 3:
+            out_frames = self._unpack_frames(out_frames)
+        return {"frame": out_frames, "alpha": out["alpha"], "metrics": self.stats()}
 
     # ---- observability -------------------------------------------------
     def stats(self) -> dict:
