@@ -43,7 +43,9 @@ def main() -> None:
         warp_impl="separable",
         face_compact=True,
         frame_layout="s2d",
+        s2d_block=10,
         face_input="guide",
+        matting_precision="int8",
     )
     engine = Engine(num_streams=S, statics=statics, donate_state=False)
     for _ in range(S):

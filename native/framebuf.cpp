@@ -39,6 +39,9 @@ struct Pool {
     int num_streams;
     int height;
     int width;
+    int s2d_block = 0;   // 0 = natural [S,H,W,3] batches; b = space-to-depth
+                         // packed [S,H/b,W/b,b*b*3] (the TPU ingestion
+                         // layout, ops/layout.py -- patch order (dy,dx,c))
     size_t frame_bytes;  // H*W*3
     std::vector<StreamRing> rings;
     // double-buffered batch output
@@ -46,6 +49,27 @@ struct Pool {
     std::vector<uint64_t> batch_ids[2];
     int cur_batch = 0;
 };
+
+// Pack one natural RGB frame into s2d patch order.  Runs inside the batch
+// assembler's copy slot, replacing the plain memcpy: same bytes touched
+// once, reads sequential per source row, writes strided by the patch size
+// (b*b*3) -- the packing is effectively free next to the copy itself.
+void pack_s2d(uint8_t* dst, const uint8_t* src, int H, int W, int b) {
+    const int wp = W / b;
+    const size_t patch = static_cast<size_t>(b) * b * 3;
+    const size_t row15 = static_cast<size_t>(b) * 3;  // bytes per (row,patch)
+    for (int i = 0; i < H / b; ++i) {
+        uint8_t* orow = dst + static_cast<size_t>(i) * wp * patch;
+        for (int dy = 0; dy < b; ++dy) {
+            const uint8_t* srow =
+                src + (static_cast<size_t>(i) * b + dy) * W * 3;
+            uint8_t* o = orow + dy * row15;
+            for (int j = 0; j < wp; ++j)
+                std::memcpy(o + static_cast<size_t>(j) * patch,
+                            srow + static_cast<size_t>(j) * row15, row15);
+        }
+    }
+}
 
 inline uint8_t clamp_u8(int v) {
     return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
@@ -57,11 +81,15 @@ extern "C" {
 
 // ---- pool lifecycle -------------------------------------------------------
 
-void* vst_pool_create(int num_streams, int height, int width) {
+// s2d_block: 0 = natural [S,H,W,3] batches; b > 0 = space-to-depth packed
+// [S,H/b,W/b,b*b*3] (requires H, W divisible by b).
+void* vst_pool_create_s2d(int num_streams, int height, int width,
+                          int s2d_block) {
     Pool* p = new Pool();
     p->num_streams = num_streams;
     p->height = height;
     p->width = width;
+    p->s2d_block = s2d_block;
     p->frame_bytes = static_cast<size_t>(height) * width * 3;
     p->rings = std::vector<StreamRing>(num_streams);
     for (auto& r : p->rings) {
@@ -73,6 +101,10 @@ void* vst_pool_create(int num_streams, int height, int width) {
         p->batch_ids[b].resize(num_streams, 0);
     }
     return p;
+}
+
+void* vst_pool_create(int num_streams, int height, int width) {
+    return vst_pool_create_s2d(num_streams, height, width, 0);
 }
 
 void vst_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }
@@ -164,7 +196,11 @@ const uint8_t* vst_assemble_batch(void* pool, uint64_t* frame_ids_out) {
         for (;;) {
             uint64_t s0 = r.seq[slot].load(std::memory_order_acquire);
             if (s0 & 1) { slot = r.latest.load(std::memory_order_acquire); continue; }
-            std::memcpy(dst, r.data.data() + slot * p->frame_bytes, p->frame_bytes);
+            const uint8_t* src = r.data.data() + slot * p->frame_bytes;
+            if (p->s2d_block > 0)
+                pack_s2d(dst, src, p->height, p->width, p->s2d_block);
+            else
+                std::memcpy(dst, src, p->frame_bytes);
             uint64_t s1 = r.seq[slot].load(std::memory_order_acquire);
             if (s0 == s1) break;  // stable snapshot
             slot = r.latest.load(std::memory_order_acquire);
@@ -219,6 +255,56 @@ void vst_rgb_to_i420(const uint8_t* rgb, int width, int height,
 
 int vst_frame_bytes(void* pool) {
     return static_cast<int>(static_cast<Pool*>(pool)->frame_bytes);
+}
+
+// Packed-composite output -> I420: the device emits s2d-packed frames
+// (ops/layout.py::alpha_composite_s2d keeps the whole composite in patch
+// layout; reconstructing the natural layout ON DEVICE costs ~27 ms per
+// 64-stream batch).  The encoder touches every byte anyway, so the unpack
+// is free here: per output row, walk the b patches that contain it.
+void vst_s2d_rgb_to_i420(const uint8_t* packed, int width, int height,
+                         int block, uint8_t* y_out, uint8_t* u_out,
+                         uint8_t* v_out) {
+    const int b = block, wp = width / b;
+    const size_t patch = static_cast<size_t>(b) * b * 3;
+    const size_t prow = static_cast<size_t>(wp) * patch;  // packed row-group
+    const int hw = width / 2, hh = height / 2;
+    for (int r = 0; r < height; ++r) {
+        const uint8_t* grp = packed + static_cast<size_t>(r / b) * prow +
+                             static_cast<size_t>(r % b) * b * 3;
+        uint8_t* yr = y_out + static_cast<size_t>(r) * width;
+        for (int j = 0; j < wp; ++j) {
+            const uint8_t* px = grp + static_cast<size_t>(j) * patch;
+            for (int dx = 0; dx < b; ++dx) {
+                int R = px[dx * 3], G = px[dx * 3 + 1], B = px[dx * 3 + 2];
+                yr[j * b + dx] =
+                    clamp_u8(((66 * R + 129 * G + 25 * B + 128) >> 8) + 16);
+            }
+        }
+        if (r & 1) continue;  // chroma from even rows' 2x2 blocks below
+    }
+    for (int cr = 0; cr < hh; ++cr) {
+        uint8_t* ur = u_out + static_cast<size_t>(cr) * hw;
+        uint8_t* vr = v_out + static_cast<size_t>(cr) * hw;
+        for (int cc = 0; cc < hw; ++cc) {
+            int R = 0, G = 0, B = 0;
+            for (int dy = 0; dy < 2; ++dy) {
+                int r = 2 * cr + dy;
+                const uint8_t* grp = packed +
+                                     static_cast<size_t>(r / b) * prow +
+                                     static_cast<size_t>(r % b) * b * 3;
+                for (int dx2 = 0; dx2 < 2; ++dx2) {
+                    int c = 2 * cc + dx2;
+                    const uint8_t* px =
+                        grp + static_cast<size_t>(c / b) * patch + (c % b) * 3;
+                    R += px[0]; G += px[1]; B += px[2];
+                }
+            }
+            R /= 4; G /= 4; B /= 4;
+            ur[cc] = clamp_u8(((-38 * R - 74 * G + 112 * B + 128) >> 8) + 128);
+            vr[cc] = clamp_u8(((112 * R - 94 * G - 18 * B + 128) >> 8) + 128);
+        }
+    }
 }
 
 }  // extern "C"

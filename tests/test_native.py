@@ -141,3 +141,46 @@ def test_drop_counter(rng):
         pool.push_rgb(0, f)
     assert pool.drops(0) >= 1  # ring overwritten without consumption
     pool.close()
+
+
+def test_native_s2d_pack_matches_ops(rng):
+    """Native s2d batch assembly == ops.space_to_depth of the same frames."""
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu import ops
+    from video_stream_segmenetation_tpu.runtime import native
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    pool = native.FramePool(2, 30, 40, s2d_block=5)
+    frames = (rng.random((2, 30, 40, 3)) * 255).astype(np.uint8)
+    pool.push_rgb(0, frames[0])
+    pool.push_rgb(1, frames[1])
+    batch, ids = pool.assemble()
+    assert batch.shape == (2, 6, 8, 75)
+    want = np.asarray(ops.space_to_depth(jnp.asarray(frames), 5))
+    np.testing.assert_array_equal(batch, want)
+    pool.close()
+
+
+def test_native_s2d_encode_matches_natural(rng):
+    """Packed-output I420 encode == natural-layout encode of the unpacked
+    frame (bit-exact: same arithmetic, different walk order)."""
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu import ops
+    from video_stream_segmenetation_tpu.runtime import native
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    frame = (rng.random((20, 40, 3)) * 255).astype(np.uint8)
+    packed = np.asarray(ops.space_to_depth(jnp.asarray(frame[None]), 5))[0]
+    y1, u1, v1 = native.rgb_to_i420(frame)
+    y2, u2, v2 = native.s2d_rgb_to_i420(packed, (20, 40), 5)
+    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_array_equal(u1, u2)
+    np.testing.assert_array_equal(v1, v2)

@@ -1,0 +1,79 @@
+"""int8 serving graph (models/quantized.py): must track the bf16 flax
+forward closely enough that the downstream refine chain sees the same
+matte (the reference itself serves a quantized flagship,
+model_q4f16.onnx, client/src/core/main.ts:6)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_stream_segmenetation_tpu import models, ops, runtime
+from video_stream_segmenetation_tpu.models.quantized import (
+    QuantizedMatteNetHD,
+    quantize_mattenet_hd,
+)
+
+FRAME_HW = (80, 160)
+MASK_HW = (32, 64)
+BLK = 10
+
+
+@pytest.fixture(scope="module")
+def hd_b():
+    model = models.MatteNetHD(width=0.5, stem_stride=BLK, head_upsample=4)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *FRAME_HW, 3)))
+    return model, params
+
+
+def test_int8_matches_bf16(hd_b, rng):
+    model, params = hd_b
+    u8 = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    packed = ops.space_to_depth(u8, BLK)
+    ref = np.asarray(jax.jit(model.apply)(params, packed)["alpha"])
+
+    q = quantize_mattenet_hd(model, params)
+    qm = QuantizedMatteNetHD(stem_stride=BLK, head_upsample=4)
+    got = np.asarray(jax.jit(qm.apply)(q, packed)["alpha"])
+
+    assert got.shape == ref.shape
+    assert np.mean(np.abs(got - ref)) < 0.02
+    assert np.max(np.abs(got - ref)) < 0.25
+
+
+def test_int8_accepts_natural_input(hd_b, rng):
+    model, params = hd_b
+    u8 = jnp.asarray((rng.random((1, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    q = quantize_mattenet_hd(model, params)
+    qm = QuantizedMatteNetHD(stem_stride=BLK, head_upsample=4)
+    a_nat = np.asarray(qm.apply(q, u8)["alpha"])
+    a_pk = np.asarray(qm.apply(q, ops.space_to_depth(u8, BLK))["alpha"])
+    np.testing.assert_array_equal(a_nat, a_pk)
+
+
+def test_plan_a_rejected(hd_b):
+    model = models.MatteNetHD(width=0.5)  # stride 5 = plan A
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *FRAME_HW, 3)))
+    with pytest.raises(ValueError):
+        quantize_mattenet_hd(model, params)
+
+
+def test_engine_int8_step(rng):
+    statics = runtime.PipelineStatics(
+        frame_hw=FRAME_HW, mask_hw=MASK_HW, fd_size=64, lmk_size=48,
+        background="color", matting_input="native", guide_impl="nearest_u8",
+        frame_layout="s2d", s2d_block=BLK, face_input="guide",
+        matting_precision="int8", use_fused_refine=False,
+    )
+    from video_stream_segmenetation_tpu.service.engine import Engine
+
+    e = Engine(num_streams=2, statics=statics, rng_seed=0, donate_state=False)
+    e.admit()
+    e.admit()
+    frames = (rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8)
+    out = e.process(frames)
+    assert out["frame"].shape == (2, *FRAME_HW, 3)
+    assert out["metrics"]["health"]["state"] == "ok"
+    a = np.asarray(out["alpha"])
+    assert a.shape == (2, *MASK_HW) and np.isfinite(a).all()

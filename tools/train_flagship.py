@@ -28,14 +28,18 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 def main(steps: int = 600):
     os.makedirs(OUT, exist_ok=True)
     jobs = [
-        # (name, model, train geometry) -- HD trains at a /5-divisible size
-        ("mattenet_hd", models.MatteNetHD(), (240, 320)),
-        ("mattenet", models.MatteNet(), (96, 160)),
+        # (name, model, train geometry, lr) -- HD trains at a /5-divisible
+        # size; the plan-B wide trunk needs the lower lr (1.5e-3 collapses
+        # it to all-background)
+        ("mattenet_hd", models.MatteNetHD(), (240, 320), 1.5e-3),
+        ("mattenet_hd10",
+         models.MatteNetHD(stem_stride=10, head_upsample=4), (240, 320), 5e-4),
+        ("mattenet", models.MatteNet(), (96, 160), 1.5e-3),
     ]
-    for name, model, hw in jobs:
+    for name, model, hw, lr in jobs:
         print(f"=== training {name} at {hw} ===", flush=True)
         params, history = train.fit(
-            model, hw=hw, batch=32, steps=steps, lr=1.5e-3, log_every=100
+            model, hw=hw, batch=32, steps=steps, lr=lr, log_every=100
         )
         for rec in history:
             print(f"[{name}] {json.dumps(rec)}", flush=True)

@@ -3,6 +3,10 @@
 
 from video_stream_segmenetation_tpu.models.modnet import MatteNet  # noqa: F401
 from video_stream_segmenetation_tpu.models.mattenet_hd import MatteNetHD  # noqa: F401
+from video_stream_segmenetation_tpu.models.quantized import (  # noqa: F401
+    QuantizedMatteNetHD,
+    quantize_mattenet_hd,
+)
 from video_stream_segmenetation_tpu.models.blazeface import FaceFinder  # noqa: F401
 from video_stream_segmenetation_tpu.models.facemesh import LandmarkNet, NUM_LANDMARKS  # noqa: F401
 from video_stream_segmenetation_tpu.models.rvm import (  # noqa: F401

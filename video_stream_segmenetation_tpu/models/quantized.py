@@ -1,0 +1,242 @@
+"""int8 serving graph for MatteNetHD plan B (the quantized flagship).
+
+The reference ships its flagship as a *quantized* model (model_q4f16.onnx,
+client/src/core/main.ts:6) and treats quantized inference as the serving
+default; this is the TPU equivalent: symmetric per-output-channel int8
+weights + static int8 activations, executed on the MXU's s8xs8->s32 path
+(measured 209 vs 118 TFLOP/s-equiv on v5e for the 3x3/128ch conv class,
+/tmp/int8_conv probe 2026-08-16).
+
+Design (post-training static quantization -- no calibration pass needed):
+
+* every trunk activation is a relu6 output, so the activation scale is a
+  *constant* 6/127 everywhere: requantization is one fused multiply.
+* BatchNorm folds into the conv weights/bias before weight quantization
+  (per-output-channel scales keep the fold lossless to ~1e-3).
+* elementwise segments (SE gating, residual adds, the alpha head) stay
+  float: they fuse into conv epilogues, and the head's logits need the
+  dynamic range.
+* the uint8 packed stem stays a bf16 matmul (it is ~0.3 ms and its /255
+  input scale does not match the relu6 lattice).
+
+`quantize_mattenet_hd(model, params)` converts a trained flax checkpoint
+(no retraining); `QuantizedMatteNetHD.apply(qparams, frames)` mirrors the
+bundle interface so the pipeline swaps it in via
+``PipelineStatics.matting_precision = 'int8'``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ACT_SCALE = 6.0 / 127.0  # relu6 output lattice
+
+
+def _fold_bn(kernel, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-5):
+    inv = bn_scale / np.sqrt(bn_var + eps)
+    w = np.asarray(kernel, np.float64) * inv[None, None, None, :]
+    b = np.asarray(bn_bias, np.float64) - np.asarray(bn_mean, np.float64) * inv
+    return w, b
+
+
+def _quant_w(w):
+    """Per-output-channel symmetric int8."""
+    amax = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12)
+    sw = amax / 127.0
+    q = np.clip(np.round(w / sw[None, None, None, :]), -127, 127).astype(np.int8)
+    return q, sw
+
+
+def _qconvbn(tree, path, stats, sx):
+    """ConvBN params at `path` -> {'wq', 'mult', 'bias'} with input scale sx."""
+    conv = tree
+    st = stats
+    for p in path:
+        conv = conv[p]
+        st = st[p]
+    k = np.asarray(conv["Conv_0"]["kernel"], np.float64)
+    bn = conv["BatchNorm_0"]
+    bst = st["BatchNorm_0"]
+    w, b = _fold_bn(
+        k, np.asarray(bn["scale"], np.float64), np.asarray(bn["bias"], np.float64),
+        np.asarray(bst["mean"], np.float64), np.asarray(bst["var"], np.float64),
+    )
+    wq, sw = _quant_w(w)
+    return {
+        "wq": jnp.asarray(wq),
+        "mult": jnp.asarray((sx * sw).astype(np.float32)),
+        "bias": jnp.asarray(b.astype(np.float32)),
+    }
+
+
+def _conv_i8(x_i8, layer, strides=(1, 1), dilation=(1, 1)):
+    """int8 conv + dequantized float epilogue input: returns f32 pre-act."""
+    y = jax.lax.conv_general_dilated(
+        x_i8, layer["wq"], strides, "SAME",
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * layer["mult"] + layer["bias"]
+
+
+def _requant(y_f32):
+    """relu6 + quantize onto the 6/127 lattice."""
+    y = jnp.clip(y_f32, 0.0, 6.0)
+    return jnp.round(y * (127.0 / 6.0)).astype(jnp.int8)
+
+
+def _se_f32(x_f32, dense0, dense1):
+    s = jnp.mean(x_f32, axis=(-3, -2), keepdims=True)
+    s = jax.nn.relu(s @ dense0["kernel"] + dense0["bias"])
+    s = s @ dense1["kernel"] + dense1["bias"]
+    return x_f32 * jax.nn.sigmoid(s)
+
+
+def _block(x_i8, lp, stats, pfx):
+    """_Block: ConvBN(act) -> ConvBN(no act) -> [SE] -> +res -> relu6."""
+    h = _requant(_conv_i8(x_i8, lp[pfx + "/ConvBN_0"]))
+    y = _conv_i8(h, lp[pfx + "/ConvBN_1"])  # f32, no act
+    if pfx + "/SEBlock_0/Dense_0" in lp:
+        y = _se_f32(
+            y, lp[pfx + "/SEBlock_0/Dense_0"], lp[pfx + "/SEBlock_0/Dense_1"]
+        )
+    y = y + x_i8.astype(jnp.float32) * ACT_SCALE  # residual (same width)
+    return _requant(y)
+
+
+def _nearest_x2(x):
+    b = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    return jnp.broadcast_to(
+        x[..., :, None, :, None, :], b + (h, 2, w, 2, c)
+    ).reshape(b + (2 * h, 2 * w, c))
+
+
+def quantize_mattenet_hd(model, params):
+    """Trained plan-B MatteNetHD flax params -> int8 serving qparams.
+
+    Returns a pytree of device arrays; feed to QuantizedMatteNetHD.apply.
+    """
+    if model.stem_stride < 8:
+        raise ValueError("int8 serving path targets plan B (stem_stride >= 8)")
+    if model.num_classes != 1:
+        raise ValueError("int8 path is single-class (v1)")
+    p = jax.tree_util.tree_map(np.asarray, params["params"])
+    st = jax.tree_util.tree_map(np.asarray, params["batch_stats"])
+
+    q = {}
+    # stem stays bf16 (u8-scale input); fold its BN into matmul scale/bias
+    k = np.asarray(p["ConvBN_0"]["Conv_0"]["kernel"], np.float64)
+    bn, bst = p["ConvBN_0"]["BatchNorm_0"], st["ConvBN_0"]["BatchNorm_0"]
+    w, b = _fold_bn(
+        k, np.asarray(bn["scale"], np.float64), np.asarray(bn["bias"], np.float64),
+        np.asarray(bst["mean"], np.float64), np.asarray(bst["var"], np.float64),
+    )
+    ss = model.stem_stride
+    q["stem_w"] = jnp.asarray(
+        (w.reshape(ss * ss * 3, -1) / 255.0).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    q["stem_b"] = jnp.asarray(b.astype(np.float32))
+
+    def cb(name, path):
+        q[name] = _qconvbn(p, path, st, ACT_SCALE)
+
+    for blk, pfx in (("_Block_0", "b1"), ("_Block_1", "d2b"), ("_Block_2", "d3b")):
+        q[pfx + "/ConvBN_0"] = _qconvbn(p, (blk, "ConvBN_0"), st, ACT_SCALE)
+        q[pfx + "/ConvBN_1"] = _qconvbn(p, (blk, "ConvBN_1"), st, ACT_SCALE)
+        if "SEBlock_0" in p[blk]:
+            for d in ("Dense_0", "Dense_1"):
+                dd = p[blk]["SEBlock_0"][d]
+                q[f"{pfx}/SEBlock_0/{d}"] = {
+                    "kernel": jnp.asarray(dd["kernel"], jnp.float32),
+                    "bias": jnp.asarray(dd["bias"], jnp.float32),
+                }
+    cb("d2dn", ("ConvBN_1",))
+    cb("d3dn", ("ConvBN_2",))
+    cb("ctx2", ("ConvBN_3",))
+    cb("ctx4", ("ConvBN_4",))
+    for d in ("Dense_0", "Dense_1"):
+        dd = p["SEBlock_0"][d]
+        q[f"ctxse/{d}"] = {
+            "kernel": jnp.asarray(dd["kernel"], jnp.float32),
+            "bias": jnp.asarray(dd["bias"], jnp.float32),
+        }
+    cb("u2", ("ConvBN_5",))
+    cb("u1", ("ConvBN_6",))
+    # float heads
+    for name, cv in (("sem", "Conv_0"), ("det", "Conv_1"), ("alpha", "Conv_2")):
+        q[name] = {
+            "kernel": jnp.asarray(p[cv]["kernel"], jnp.float32),
+            "bias": jnp.asarray(p[cv]["bias"], jnp.float32),
+        }
+    return q
+
+
+class QuantizedMatteNetHD:
+    """Bundle-compatible int8 serving graph (apply(qparams, x) -> dict)."""
+
+    def __init__(self, stem_stride: int, head_upsample: int):
+        self.stem_stride = stem_stride
+        self.head_upsample = head_upsample
+
+    def apply(self, q, x, train: bool = False):
+        ss = self.stem_stride
+        if x.shape[-1] != 3 * ss * ss:
+            from video_stream_segmenetation_tpu.ops.layout import space_to_depth
+
+            if x.dtype != jnp.uint8:
+                x = jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
+            x = space_to_depth(x, ss)
+        # stem: bf16 patch matmul + folded BN -> relu6 lattice
+        y = x.astype(jnp.bfloat16) @ q["stem_w"]
+        x0 = _requant(y.astype(jnp.float32) + q["stem_b"])
+
+        b1 = _block(x0, q, None, "b1")
+        d2 = _requant(_conv_i8(b1, q["d2dn"], strides=(2, 2)))
+        d2 = _block(d2, q, None, "d2b")
+        d3 = _requant(_conv_i8(d2, q["d3dn"], strides=(2, 2)))
+        d3 = _block(d3, q, None, "d3b")
+
+        c2 = _requant(_conv_i8(d3, q["ctx2"], dilation=(2, 2)))
+        c4 = _conv_i8(c2, q["ctx4"], dilation=(4, 4))  # no act
+        ctx_f = jax.nn.relu6(c4 + d3.astype(jnp.float32) * ACT_SCALE)
+        ctx_f = _se_f32(ctx_f, q["ctxse/Dense_0"], q["ctxse/Dense_1"])
+        ctx = jnp.round(jnp.clip(ctx_f, 0.0, 6.0) * (127.0 / 6.0)).astype(jnp.int8)
+
+        sem_logit = ctx_f @ q["sem"]["kernel"][0, 0] + q["sem"]["bias"]
+
+        u2 = _nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
+        u2 = _requant(_conv_i8(jnp.concatenate([u2, d2], axis=-1), q["u2"]))
+        u1 = _nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]
+        u1 = _requant(_conv_i8(jnp.concatenate([u1, b1], axis=-1), q["u1"]))
+
+        u1f = u1.astype(jnp.bfloat16) * jnp.bfloat16(ACT_SCALE)
+        det_logit = u1f @ q["det"]["kernel"][0, 0].astype(jnp.bfloat16) + q[
+            "det"
+        ]["bias"].astype(jnp.bfloat16)
+        alpha_logit = (
+            jax.lax.conv_general_dilated(
+                u1f,
+                q["alpha"]["kernel"].astype(jnp.bfloat16),
+                (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + q["alpha"]["bias"].astype(jnp.bfloat16)
+        )
+
+        from video_stream_segmenetation_tpu.ops.resize import resize_bilinear_mxu
+
+        uf = self.head_upsample
+        h0, w0 = alpha_logit.shape[-3], alpha_logit.shape[-2]
+        al = resize_bilinear_mxu(
+            alpha_logit[..., 0].astype(jnp.float32), (uf * h0, uf * w0),
+            method="half_pixel", channel_last=False,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return {
+            "alpha": jax.nn.sigmoid(al.astype(jnp.float32)),
+            "semantic": jax.nn.sigmoid(sem_logit.astype(jnp.float32))[..., 0],
+            "detail": det_logit.astype(jnp.float32)[..., 0],
+        }

@@ -164,6 +164,12 @@ class PipelineStatics:
     # matting_input='native'.
     frame_layout: str = "natural"
     s2d_block: int = 5
+    # matting serving precision: 'bf16' (flax forward) or 'int8'
+    # (models/quantized.py: BN-folded per-channel int8 weights + static
+    # relu6-lattice activations on the MXU s8 path; requires
+    # matting_input='native' with the plan-B stem, s2d_block >= 8).
+    # The reference's own flagship ships quantized (model_q4f16.onnx).
+    matting_precision: str = "bf16"
     # matting architecture: 'feedforward' or 'recurrent' (RVM-class model
     # threading ConvGRU state through StreamState.rec)
     matting_arch: str = "feedforward"

@@ -33,6 +33,10 @@ def _load():
     lib = ctypes.CDLL(_LIB_PATH)
     lib.vst_pool_create.restype = ctypes.c_void_p
     lib.vst_pool_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.vst_pool_create_s2d.restype = ctypes.c_void_p
+    lib.vst_pool_create_s2d.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
     lib.vst_pool_destroy.argtypes = [ctypes.c_void_p]
     lib.vst_push_rgb.restype = ctypes.c_uint64
     lib.vst_push_rgb.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
@@ -51,6 +55,11 @@ def _load():
     lib.vst_rgb_to_i420.restype = None
     lib.vst_rgb_to_i420.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+    ]
+    lib.vst_s2d_rgb_to_i420.restype = None
+    lib.vst_s2d_rgb_to_i420.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
     ]
     _lib = lib
@@ -75,6 +84,26 @@ def rgb_to_i420(frame: np.ndarray):
     return y, u, v
 
 
+def s2d_rgb_to_i420(packed: np.ndarray, frame_hw, block: int):
+    """s2d-packed composite output uint8 [H/b, W/b, b*b*3] -> I420 planes.
+
+    The unpack rides inside the encode pass (the device never pays the
+    ~27 ms/batch depth_to_space; see ops/layout.py + framebuf.cpp)."""
+    lib = _load()
+    h, w = frame_hw
+    packed = np.ascontiguousarray(packed, np.uint8)
+    y = np.empty((h, w), np.uint8)
+    u = np.empty((h // 2, w // 2), np.uint8)
+    v = np.empty((h // 2, w // 2), np.uint8)
+    lib.vst_s2d_rgb_to_i420(
+        packed.ctypes.data_as(ctypes.c_char_p), w, h, block,
+        y.ctypes.data_as(ctypes.c_char_p),
+        u.ctypes.data_as(ctypes.c_char_p),
+        v.ctypes.data_as(ctypes.c_char_p),
+    )
+    return y, u, v
+
+
 def native_available() -> bool:
     try:
         _load()
@@ -86,12 +115,22 @@ def native_available() -> bool:
 class FramePool:
     """Host-side frame staging for S streams of HxW RGB frames."""
 
-    def __init__(self, num_streams: int, height: int, width: int):
+    def __init__(self, num_streams: int, height: int, width: int,
+                 s2d_block: int = 0):
+        """s2d_block=b > 0: assembled batches come out space-to-depth
+        packed [S, H/b, W/b, b*b*3] (the TPU ingestion layout,
+        ops/layout.py) -- the pack replaces the assembly memcpy, so the
+        permutation is host-free."""
         self._lib = _load()
         self.num_streams = num_streams
         self.height = height
         self.width = width
-        self._pool = self._lib.vst_pool_create(num_streams, height, width)
+        self.s2d_block = s2d_block
+        if s2d_block and (height % s2d_block or width % s2d_block):
+            raise ValueError("s2d_block must divide height and width")
+        self._pool = self._lib.vst_pool_create_s2d(
+            num_streams, height, width, s2d_block
+        )
         if not self._pool:
             raise RuntimeError("vst_pool_create failed")
         self._ids = (ctypes.c_uint64 * num_streams)()
@@ -140,7 +179,13 @@ class FramePool:
         ptr = self._lib.vst_assemble_batch(self._pool, self._ids)
         n = self.num_streams * self.height * self.width * 3
         buf = np.ctypeslib.as_array(ptr, shape=(n,))
-        batch = buf.reshape(self.num_streams, self.height, self.width, 3)
+        if self.s2d_block:
+            b = self.s2d_block
+            batch = buf.reshape(
+                self.num_streams, self.height // b, self.width // b, b * b * 3
+            )
+        else:
+            batch = buf.reshape(self.num_streams, self.height, self.width, 3)
         return batch, np.asarray(self._ids, dtype=np.uint64).copy()
 
     def drops(self, stream: int) -> int:

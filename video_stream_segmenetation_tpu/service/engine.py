@@ -43,6 +43,10 @@ class Engine:
         if bundle is None:
             bundle = self._default_bundle(rng_seed)
         self.bundle = bundle
+        # keep the float model/params for re-quantization on checkpoint load
+        self._raw_matte = (bundle.matte_model, bundle.matte_params)
+        if self.statics.matting_precision == "int8":
+            self._swap_in_quantized()
         self._step = jax.jit(
             runtime.make_step(bundle, self.statics),
             donate_argnums=(1,) if donate_state else (),
@@ -121,14 +125,16 @@ class Engine:
                 k1, jnp.zeros((1, mh, mw, 3)), rvm_init_state(1, (mh, mw))
             )
         elif self.statics.matting_input == "native":
-            ss = 5
+            ss = self.statics.s2d_block
             stem_hw = (-(-fh // ss), -(-fw // ss))
-            if (2 * stem_hw[0], 2 * stem_hw[1]) != (mh, mw):
+            uf = max(1, mh // stem_hw[0])
+            if (uf * stem_hw[0], uf * stem_hw[1]) != (mh, mw):
                 raise ValueError(
-                    f"native matting: mask_hw must be 2*ceil(frame/{ss}) "
-                    f"= {(2 * stem_hw[0], 2 * stem_hw[1])}, got {(mh, mw)}"
+                    f"native matting: mask_hw must be an integer multiple "
+                    f"of the stem grid ceil(frame/{ss}) = {stem_hw}, got "
+                    f"{(mh, mw)}"
                 )
-            matte = models.MatteNetHD(stem_stride=ss)
+            matte = models.MatteNetHD(stem_stride=ss, head_upsample=uf)
             matte_p = matte.init(k1, jnp.zeros((1, fh, fw, 3)))
         else:
             matte = models.MatteNet()
@@ -143,13 +149,32 @@ class Engine:
         )
         return runtime.ModelBundle(matte, matte_p, face, face_p, lmk, lmk_p)
 
+    def _swap_in_quantized(self) -> None:
+        """Replace the bundle's matting forward with the int8 serving
+        graph built from the current float params (models/quantized.py)."""
+        from video_stream_segmenetation_tpu.models.quantized import (
+            QuantizedMatteNetHD,
+            quantize_mattenet_hd,
+        )
+
+        model, params = self._raw_matte
+        self.bundle.matte_params = quantize_mattenet_hd(model, params)
+        self.bundle.matte_model = QuantizedMatteNetHD(
+            stem_stride=model.stem_stride, head_upsample=model.head_upsample
+        )
+
     def load_matting_params(self, path: str) -> None:
         """Load flagship matting weights from an orbax checkpoint dir
         (service start = checkpoint read, SURVEY.md §5).  The param tree
         must match the configured matting architecture."""
         from video_stream_segmenetation_tpu.utils.checkpoint import restore_params
 
-        self.bundle.matte_params = restore_params(path)
+        params = restore_params(path)
+        self._raw_matte = (self._raw_matte[0], params)
+        if self.statics.matting_precision == "int8":
+            self._swap_in_quantized()
+        else:
+            self.bundle.matte_params = params
 
     # ---- stream admission (SURVEY.md §5 failure/recovery) -------------
     def admit(self) -> int:
