@@ -162,3 +162,36 @@ def test_face_input_guide_step(rng):
     out = e.process(frames)
     assert out["frame"].shape == (2, *FRAME_HW, 3)
     assert np.asarray(out["alpha"]).shape == (2, *MASK_HW)
+
+
+def test_guide_from_s2d_block10_matches_resize_nearest(rng):
+    x = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    p = ops.space_to_depth(x, 10)
+    got = ops.guide_from_s2d(p, FRAME_HW, MASK_HW, 10)
+    want = ops.resize_nearest(x, MASK_HW, method="half_pixel")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_alpha_composite_s2d_block10(rng):
+    frames = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    bg = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    alpha = jnp.asarray(rng.random((2, *MASK_HW)).astype(np.float32))
+    a_up = jnp.clip(
+        ops.resize_bilinear_mxu(
+            alpha, FRAME_HW, method="half_pixel", channel_last=False,
+            precision=jax.lax.Precision.HIGHEST,
+        ), 0.0, 1.0,
+    )
+    want = ops.alpha_composite(
+        frames.astype(jnp.float32) / 255.0, a_up,
+        background=bg.astype(jnp.float32) / 255.0, out_u8=True,
+    )
+    got = ops.depth_to_space(
+        ops.alpha_composite_s2d(
+            ops.space_to_depth(frames, 10), alpha, ops.space_to_depth(bg, 10),
+            FRAME_HW, 10, method="half_pixel",
+            precision=jax.lax.Precision.HIGHEST,
+        ), 10,
+    )
+    d = np.abs(np.asarray(got).astype(np.int16) - np.asarray(want).astype(np.int16))
+    assert d.max() <= 1

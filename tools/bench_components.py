@@ -14,9 +14,13 @@ Run: JAX_PLATFORMS= PYTHONPATH=. python tools/bench_components.py
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 S = 64
 FRAME_HW = (720, 1280)

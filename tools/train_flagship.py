@@ -28,21 +28,34 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 def main(steps: int = 600):
     os.makedirs(OUT, exist_ok=True)
     jobs = [
-        # (name, model, train geometry, lr) -- HD trains at a /5-divisible
-        # size; the plan-B wide trunk needs the lower lr (1.5e-3 collapses
-        # it to all-background)
-        ("mattenet_hd", models.MatteNetHD(), (240, 320), 1.5e-3),
+        # (name, model, pretrain hw, lr, serving hw, serving batch) --
+        # HD trains at a /5-divisible size; the plan-B wide trunk needs
+        # the lower lr (1.5e-3 collapses it to all-background).  The
+        # serving-resolution fine-tune phase is mandatory: texture/noise
+        # frequencies relative to the stem patch do not transfer (IoU
+        # 0.20 -> 0.994 at 720p, train/loop.py::fit docstring).
+        ("mattenet_hd", models.MatteNetHD(), (240, 320), 1.5e-3,
+         (720, 1280), 8),
         ("mattenet_hd10",
-         models.MatteNetHD(stem_stride=10, head_upsample=4), (240, 320), 5e-4),
-        ("mattenet", models.MatteNet(), (96, 160), 1.5e-3),
+         models.MatteNetHD(stem_stride=10, head_upsample=4), (240, 320),
+         5e-4, (720, 1280), 8),
+        ("mattenet", models.MatteNet(), (96, 160), 1.5e-3, (288, 512), 16),
     ]
-    for name, model, hw, lr in jobs:
+    for name, model, hw, lr, serve_hw, serve_b in jobs:
         print(f"=== training {name} at {hw} ===", flush=True)
         params, history = train.fit(
             model, hw=hw, batch=32, steps=steps, lr=lr, log_every=100
         )
         for rec in history:
             print(f"[{name}] {json.dumps(rec)}", flush=True)
+        ft_steps = max(steps // 2, 200)
+        print(f"=== fine-tuning {name} at {serve_hw} ===", flush=True)
+        params, history = train.fit(
+            model, hw=serve_hw, batch=serve_b, steps=ft_steps, lr=lr / 3,
+            log_every=100, init_params=params, seed=1,
+        )
+        for rec in history:
+            print(f"[{name}/ft] {json.dumps(rec)}", flush=True)
         path = os.path.join(OUT, name)
         utils.save_params(path, params)
         print(f"[{name}] saved to {path}", flush=True)

@@ -25,6 +25,20 @@ _PRESETS = {
         warp_impl="separable",
         face_compact=True,
     ),
+    # maximum-throughput serving: s2d packed ingestion (the native
+    # framebuf assembles batches in patch order), plan-B stride-10 stem,
+    # int8 matting graph, guide-sourced face path -- the bench.py
+    # headline configuration (99.5 sustained 720p30 streams/chip)
+    "fast_int8": dict(
+        matting_input="native",
+        guide_impl="nearest_u8",
+        warp_impl="separable",
+        face_compact=True,
+        frame_layout="s2d",
+        s2d_block=10,
+        face_input="guide",
+        matting_precision="int8",
+    ),
     # frameProcessor.ts: BlazeFace center tracking, translation warp
     # (gain 0.9, 50/50 blend), EMA 0.75, gamma 0.8, no morphology/prior;
     # detector on a plain 128 resize every frame

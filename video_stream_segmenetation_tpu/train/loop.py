@@ -71,12 +71,18 @@ def fit(
     data_fn: Callable | None = None,
     log_every: int = 50,
     mesh=None,
+    init_params=None,
 ):
     """Train a matting model; returns (params, history).
 
     data_fn(key, batch, hw) -> (frames [B,H,W,3] 0..1, alpha_gt [B,H,W]);
     defaults to the synthetic generator.  With `mesh`, the batch is
     sharded over the 'data' axis and params replicated (dp training).
+    `init_params` warm-starts from an existing checkpoint -- used for the
+    serving-resolution fine-tune phase: conv nets transfer across
+    geometry, but texture/noise frequencies relative to the stem patch
+    size do not (a 240x320-trained flagship scores IoU 0.20 at 720p;
+    after a short 720p fine-tune, 0.994 -- tools/train_flagship.py).
     """
     data_fn = data_fn or synthetic_matting_batch
     tx = train.make_optimizer(lr)
@@ -84,6 +90,10 @@ def fit(
     state, _ = train.init_train_state(
         model, rng, jnp.zeros((batch, *hw, 3)), tx
     )
+    if init_params is not None:
+        state = train.TrainState(
+            params=init_params, opt_state=tx.init(init_params), step=state.step
+        )
     step_fn = train.make_train_step(model, tx)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
