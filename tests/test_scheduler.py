@@ -56,3 +56,39 @@ def test_run_and_stop(sched, rng):
     time.sleep(0.5)
     sched.stop()
     assert sched.ticks >= 2
+
+
+def test_group_scheduling_latency_mode(rng):
+    """groups=2: each tick steps one group; state advances per group and
+    results match full-batch processing stream-for-stream."""
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu import runtime
+    from video_stream_segmenetation_tpu.runtime.scheduler import StreamScheduler
+    from video_stream_segmenetation_tpu.service.engine import Engine
+
+    statics = runtime.PipelineStatics(
+        frame_hw=(80, 160), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", face_path=False, use_fused_refine=False,
+    )
+    frames = (rng.random((4, 80, 160, 3)) * 255).astype(np.uint8)
+
+    eng_g = Engine(num_streams=4, statics=statics, rng_seed=0, donate_state=False)
+    sch = StreamScheduler(eng_g, use_native_pool=False, groups=2)
+    for _ in range(4):
+        sch.admit()
+    sch._frames[:] = frames
+    out0 = sch.step()   # group 0 -> slots (0, 2)
+    out1 = sch.step()   # group 1 -> slots (2, 4)
+    assert out0["slots"] == (0, 2) and out1["slots"] == (2, 4)
+    idx = np.asarray(eng_g.state.frame_idx)
+    # every stream advanced exactly once past its staggered phase
+    # (scheduler.admit sets frame_idx = slot % lmk_interval)
+    assert (idx == np.arange(4) % 6 + 1).all()
+
+    eng_f = Engine(num_streams=4, statics=statics, rng_seed=0, donate_state=False)
+    for _ in range(4):
+        eng_f.admit()
+    out_f = eng_f.process(frames)
+    got = np.concatenate([np.asarray(out0["frame"]), np.asarray(out1["frame"])])
+    np.testing.assert_array_equal(got, np.asarray(out_f["frame"]))

@@ -32,16 +32,31 @@ class StreamScheduler:
         engine: Engine,
         use_native_pool: bool = True,
         tick_hz: float = 30.0,
+        groups: int = 1,
     ):
+        """groups > 1 = latency mode: each tick serves ONE group of
+        S/groups streams round-robin at ``groups * tick_hz`` ticks/s, so
+        per-frame compute latency is a small-batch step (5.4 ms at S/G=16
+        on v5e vs 21.4 ms full-batch; benchmarks/RESULTS.md) while
+        throughput stays at S streams."""
         self.engine = engine
-        self.tick_s = 1.0 / tick_hz
+        self.groups = groups
+        if engine.num_streams % groups:
+            raise ValueError("groups must divide num_streams")
+        self.tick_s = 1.0 / (tick_hz * groups)
         fh, fw = engine.statics.frame_hw
         self.pool = None
         if use_native_pool:
             try:
                 from video_stream_segmenetation_tpu.runtime.native import FramePool
 
-                self.pool = FramePool(engine.num_streams, fh, fw)
+                # s2d engines take packed batches straight from the pool
+                blk = (
+                    engine.statics.s2d_block
+                    if engine.statics.frame_layout == "s2d"
+                    else 0
+                )
+                self.pool = FramePool(engine.num_streams, fh, fw, s2d_block=blk)
             except Exception:
                 self.pool = None  # fall back to host-side arrays
         self._frames = np.zeros((engine.num_streams, fh, fw, 3), np.uint8)
@@ -79,12 +94,23 @@ class StreamScheduler:
 
     # ---- the tick ------------------------------------------------------
     def step(self) -> dict:
-        """Assemble the freshest frames and run one engine step."""
+        """Assemble the freshest frames and run one engine step.
+
+        With ``groups > 1`` only the current round-robin group's rows are
+        stepped (latency mode); its result carries the ``slots`` range.
+        """
         if self.pool is not None:
             batch, ids = self.pool.assemble()
         else:
             batch, ids = self._frames, None
-        out = self.engine.process(batch)
+        if self.groups > 1:
+            g = self.ticks % self.groups
+            gs = self.engine.num_streams // self.groups
+            out = self.engine.process_group(g, self.groups, batch[g * gs:(g + 1) * gs])
+            if ids is not None:
+                ids = ids[g * gs:(g + 1) * gs]
+        else:
+            out = self.engine.process(batch)
         self.ticks += 1
         if self.on_batch is not None:
             self.on_batch(out, ids)

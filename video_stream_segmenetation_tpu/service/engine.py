@@ -308,6 +308,56 @@ class Engine:
             **extras,
         }
 
+    def process_group(self, group: int, num_groups: int, frames: np.ndarray) -> dict:
+        """Latency-mode step: process only stream group ``group`` (rows
+        ``[g*S/G, (g+1)*S/G)``), leaving other groups' state untouched.
+
+        The latency serving mode (benchmarks/RESULTS.md): 64 streams as
+        4 staggered 16-stream groups, one group per tick at 4x the frame
+        rate -- a 16-stream step is 5.4 ms on v5e (< the 8 ms p50
+        target), and 4 ticks fit in a 33 ms frame interval at 65% duty.
+        ``frames``: the group's frames only ([S/G, H, W, 3] or packed).
+        """
+        if self.num_streams % num_groups:
+            raise ValueError("num_groups must divide num_streams")
+        gs = self.num_streams // num_groups
+        i0, i1 = group * gs, (group + 1) * gs
+        t0 = time.perf_counter()
+        self._apply_staged()
+        now = time.monotonic()
+        gate = jnp.asarray(
+            (now - self._last_face_at[i0:i1]) >= self.face_min_interval_s
+        )
+        frames_j = jnp.asarray(frames, dtype=jnp.uint8)
+        if self._pack_frames is not None and frames_j.shape[-1] == 3:
+            frames_j = self._pack_frames(frames_j)
+
+        rows = lambda tree: jax.tree_util.tree_map(lambda x: x[i0:i1], tree)
+        t1 = time.perf_counter()
+        new_gstate, out = self._step(
+            self.bundle.params, rows(self.state), frames_j,
+            self.backgrounds[i0:i1], rows(self.knobs), gate,
+        )
+        jax.block_until_ready(out["frame"])
+        self.state = jax.tree_util.tree_map(
+            lambda full, g: full.at[i0:i1].set(g), self.state, new_gstate
+        )
+        applied = np.zeros((self.num_streams,), bool)
+        applied[i0:i1] = np.asarray(out["face_applied"])
+        self._last_face_at[applied] = now
+        t2 = time.perf_counter()
+        self.counters.record_step(gs, (t2 - t1) * 1e3, (t2 - t0) * 1e3)
+        self.health.record_success()
+        out_frames = out["frame"]
+        if self._unpack_frames is not None and out_frames.shape[-1] != 3:
+            out_frames = self._unpack_frames(out_frames)
+        return {
+            "frame": out_frames,
+            "alpha": out["alpha"],
+            "slots": (i0, i1),
+            "metrics": self.stats(),
+        }
+
     def process_chunked(self, frames: np.ndarray, chunk_size: int) -> dict:
         """Latency-oriented step: dispatch the batch as consecutive
         sub-batches of ``chunk_size`` streams.
