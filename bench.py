@@ -34,19 +34,11 @@ def main() -> None:
     from video_stream_segmenetation_tpu.service.engine import Engine
 
     S = TARGET_STREAMS
-    # the TPU-first fast configuration (see ARCHITECTURE.md):
-    # 720p-native MatteNetHD stem (no preprocess resize), u8-nearest guide,
-    # separable warp, cadence-compacted face path
-    statics = runtime.PipelineStatics(
-        matting_input="native",
-        guide_impl="nearest_u8",
-        warp_impl="separable",
-        face_compact=True,
-        frame_layout="s2d",
-        s2d_block=10,
-        face_input="guide",
-        matting_precision="int8",
-    )
+    # the TPU-first fast serving configuration (single source of truth:
+    # runtime/presets.py "fast_int8"; see ARCHITECTURE.md)
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+
+    statics = preset("fast_int8")
     engine = Engine(num_streams=S, statics=statics, donate_state=False)
     for _ in range(S):
         engine.admit()

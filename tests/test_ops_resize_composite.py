@@ -167,3 +167,27 @@ def test_box_blur_constant_invariant():
     img = jnp.full((16, 16, 3), 0.5)
     out = np.asarray(ops.box_blur(img, 2))
     np.testing.assert_allclose(out, 0.5, atol=1e-6)
+
+
+def test_crop_and_resize_mxu_matches_gather(rng):
+    """Matmul crop == gather crop exactly (same taps/clamp/fill),
+    including boxes partly outside the frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu import ops
+
+    img = jnp.asarray(rng.random((3, 36, 64, 3)).astype(np.float32))
+    boxes = jnp.asarray(
+        [
+            [5.0, 3.0, 40.0, 30.0],
+            [-10.0, -5.0, 20.0, 20.0],  # partly out of frame (fill)
+            [50.0, 20.0, 80.0, 45.0],   # off right/bottom edge
+        ],
+        jnp.float32,
+    )
+    want = jax.vmap(
+        lambda im, b: ops.crop_and_resize(im, b, (24, 24))
+    )(img, boxes)
+    got = ops.crop_and_resize_mxu(img, boxes, (24, 24))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -11,6 +11,7 @@ from video_stream_segmenetation_tpu.ops.resize import (  # noqa: F401
     resize_bilinear_mxu,
     resize_nearest,
     crop_and_resize,
+    crop_and_resize_mxu,
 )
 from video_stream_segmenetation_tpu.ops.color import (  # noqa: F401
     normalize_frame,

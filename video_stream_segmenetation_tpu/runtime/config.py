@@ -142,6 +142,10 @@ class PipelineStatics:
     # dense interp matmuls (NOT recommended at 720p -- channel-minormost
     # layout makes XLA's lowering pathological; kept for small inputs)
     resize_impl: str = "gather"
+    # landmark ROI crop lowering: 'gather' (dynamic 2-D gather) or
+    # 'mxu' (hat-weight interp matmuls; identical numerics, much faster
+    # on v5e -- ops/resize.py::crop_and_resize_mxu)
+    crop_impl: str = "gather"
     # preprocess matmul precision: 'fast' (bf16 passes) | 'exact'
     preprocess_precision: str = "fast"
     # matting input: 'resized' = reference-style (resize to mask res, then

@@ -113,9 +113,16 @@ def _face_subpath(bundle, params, frames_f32, fire, statics: PipelineStatics):
 
     # -- ROI crop + landmarks (:139-143)
     roi = pad_box(box, statics.roi_pad, (fh, fw))
-    roi_img = jax.vmap(
-        lambda img, b: ops.crop_and_resize(img, b, (statics.lmk_size, statics.lmk_size))
-    )(frames_f32, roi)
+    if statics.crop_impl == "mxu":
+        roi_img = ops.crop_and_resize_mxu(
+            frames_f32, roi, (statics.lmk_size, statics.lmk_size)
+        )
+    else:
+        roi_img = jax.vmap(
+            lambda img, b: ops.crop_and_resize(
+                img, b, (statics.lmk_size, statics.lmk_size)
+            )
+        )(frames_f32, roi)
     lmk = bundle.lmk_model.apply(params["lmk"], roi_img)
     lmk_ok = det_ok & (lmk["scores"] >= statics.lmk_score_thresh)
 

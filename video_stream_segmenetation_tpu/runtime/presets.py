@@ -38,6 +38,8 @@ _PRESETS = {
         s2d_block=10,
         face_input="guide",
         matting_precision="int8",
+        crop_impl="mxu",
+        resize_impl="mxu",
     ),
     # frameProcessor.ts: BlazeFace center tracking, translation warp
     # (gain 0.9, 50/50 blend), EMA 0.75, gamma 0.8, no morphology/prior;
