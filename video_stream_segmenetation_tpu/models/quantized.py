@@ -208,10 +208,22 @@ class QuantizedMatteNetHD:
 
         sem_logit = ctx_f @ q["sem"]["kernel"][0, 0] + q["sem"]["bias"]
 
+        # decoder convs over concat(skip, up) run as SPLIT convs:
+        # conv(concat(a, b)) == conv_a(a) + conv_b(b) with the weight
+        # sliced along input channels -- identical numerics, but the int8
+        # concat tensor never materializes (13.5 -> 10.5 ms/64-batch fwd)
+        def split_conv(up, skip, layer):
+            ca = up.shape[-1]
+            la = {"wq": layer["wq"][:, :, :ca], "mult": layer["mult"],
+                  "bias": layer["bias"]}
+            lb = {"wq": layer["wq"][:, :, ca:], "mult": layer["mult"],
+                  "bias": jnp.zeros_like(layer["bias"])}
+            return _requant(_conv_i8(up, la) + _conv_i8(skip, lb))
+
         u2 = _nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
-        u2 = _requant(_conv_i8(jnp.concatenate([u2, d2], axis=-1), q["u2"]))
+        u2 = split_conv(u2, d2, q["u2"])
         u1 = _nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]
-        u1 = _requant(_conv_i8(jnp.concatenate([u1, b1], axis=-1), q["u1"]))
+        u1 = split_conv(u1, b1, q["u1"])
 
         u1f = u1.astype(jnp.bfloat16) * jnp.bfloat16(ACT_SCALE)
         det_logit = u1f @ q["det"]["kernel"][0, 0].astype(jnp.bfloat16) + q[
