@@ -24,7 +24,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from video_stream_segmenetation_tpu.models.backbones import ConvBN, InvertedResidual
+from video_stream_segmenetation_tpu.models.backbones import ConvBN
 from video_stream_segmenetation_tpu.ops.detect import blazeface_anchors, decode_anchor_boxes
 
 
@@ -36,17 +36,19 @@ class FaceFinder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # dense 3x3 trunk (not the ONNX original's depthwise blocks:
+        # depthwise convs at 24-96 channels are VPU-bound on TPU; dense
+        # convs of the same footprint ride the MXU)
         x = x.astype(self.dtype)
-        x = ConvBN(24, strides=(2, 2), dtype=self.dtype)(x, train)  # /2 128
-        x = InvertedResidual(24, expand=2, dtype=self.dtype)(x, train)
-        x = InvertedResidual(32, strides=(2, 2), expand=2, dtype=self.dtype)(x, train)  # /4 64
-        x = InvertedResidual(32, expand=2, dtype=self.dtype)(x, train)
-        x = InvertedResidual(48, strides=(2, 2), expand=2, dtype=self.dtype)(x, train)  # /8 32
-        x = InvertedResidual(48, expand=2, dtype=self.dtype)(x, train)
-        f16 = InvertedResidual(64, strides=(2, 2), expand=2, dtype=self.dtype)(x, train)  # /16 16
-        f16 = InvertedResidual(64, expand=2, dtype=self.dtype)(f16, train)
-        f32 = InvertedResidual(96, strides=(2, 2), expand=2, dtype=self.dtype)(f16, train)  # /32 8
-        f32 = InvertedResidual(96, expand=2, dtype=self.dtype)(f32, train)
+        x = ConvBN(32, strides=(2, 2), dtype=self.dtype)(x, train)  # /2 128
+        x = ConvBN(48, strides=(2, 2), dtype=self.dtype)(x, train)  # /4 64
+        x = ConvBN(48, dtype=self.dtype)(x, train)
+        x = ConvBN(64, strides=(2, 2), dtype=self.dtype)(x, train)  # /8 32
+        x = ConvBN(64, dtype=self.dtype)(x, train)
+        f16 = ConvBN(96, strides=(2, 2), dtype=self.dtype)(x, train)  # /16 16
+        f16 = ConvBN(96, dtype=self.dtype)(f16, train)
+        f32 = ConvBN(128, strides=(2, 2), dtype=self.dtype)(f16, train)  # /32 8
+        f32 = ConvBN(128, dtype=self.dtype)(f32, train)
 
         # anchor heads: 16x16 grid x2 anchors, 8x8 grid x6 anchors = 896
         def head(feat, per_cell):

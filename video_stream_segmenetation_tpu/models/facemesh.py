@@ -18,7 +18,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from video_stream_segmenetation_tpu.models.backbones import ConvBN, InvertedResidual
+from video_stream_segmenetation_tpu.models.backbones import ConvBN
 
 NUM_LANDMARKS = 468
 
@@ -28,16 +28,16 @@ class LandmarkNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # dense 3x3 trunk (TPU-first; see blazeface.py note on depthwise)
         x = x.astype(self.dtype)
-        x = ConvBN(16, strides=(2, 2), dtype=self.dtype)(x, train)  # 96
-        x = InvertedResidual(16, expand=1, dtype=self.dtype)(x, train)
-        x = InvertedResidual(32, strides=(2, 2), expand=2, dtype=self.dtype)(x, train)  # 48
-        x = InvertedResidual(32, expand=2, dtype=self.dtype)(x, train)
-        x = InvertedResidual(64, strides=(2, 2), expand=2, dtype=self.dtype)(x, train)  # 24
-        x = InvertedResidual(64, expand=2, dtype=self.dtype)(x, train)
-        x = InvertedResidual(96, strides=(2, 2), expand=2, use_se=True, dtype=self.dtype)(x, train)  # 12
-        x = InvertedResidual(96, expand=2, use_se=True, dtype=self.dtype)(x, train)
-        x = InvertedResidual(128, strides=(2, 2), expand=2, use_se=True, dtype=self.dtype)(x, train)  # 6
+        x = ConvBN(32, strides=(2, 2), dtype=self.dtype)(x, train)  # 96
+        x = ConvBN(48, strides=(2, 2), dtype=self.dtype)(x, train)  # 48
+        x = ConvBN(48, dtype=self.dtype)(x, train)
+        x = ConvBN(64, strides=(2, 2), dtype=self.dtype)(x, train)  # 24
+        x = ConvBN(64, dtype=self.dtype)(x, train)
+        x = ConvBN(96, strides=(2, 2), dtype=self.dtype)(x, train)  # 12
+        x = ConvBN(96, dtype=self.dtype)(x, train)
+        x = ConvBN(128, strides=(2, 2), dtype=self.dtype)(x, train)  # 6
         x = ConvBN(256, (1, 1), dtype=self.dtype)(x, train)
 
         pooled = jnp.mean(x, axis=(-3, -2))  # [S, 256]

@@ -163,6 +163,16 @@ class Engine:
             stem_stride=model.stem_stride, head_upsample=model.head_upsample
         )
 
+    def load_face_params(self, face_path: str, lmk_path: str | None = None) -> None:
+        """Load FaceFinder / LandmarkNet weights (tools/train_face.py
+        checkpoints) -- the counterpart of the reference's pretrained
+        MediaPipe face ONNX files (SURVEY.md §2.7)."""
+        from video_stream_segmenetation_tpu.utils.checkpoint import restore_params
+
+        self.bundle.face_params = restore_params(face_path)
+        if lmk_path is not None:
+            self.bundle.lmk_params = restore_params(lmk_path)
+
     def load_matting_params(self, path: str) -> None:
         """Load flagship matting weights from an orbax checkpoint dir
         (service start = checkpoint read, SURVEY.md §5).  The param tree
