@@ -28,10 +28,21 @@ sys.path.insert(0, ROOT)
 RESULTS = {}
 
 
+_SYNC_FN = None
+
+
 def _sync_scalar(x):
+    """JITTED scalar sync: an *eager* jnp op here costs seconds (with
+    variance) over the axon tunnel and poisons every measurement."""
+    global _SYNC_FN
+    import jax
     import jax.numpy as jnp
 
-    return np.asarray(jnp.sum(x.reshape(-1)[:4].astype(jnp.float32)))
+    if _SYNC_FN is None:
+        _SYNC_FN = jax.jit(
+            lambda v: jnp.sum(v.reshape(-1)[:4].astype(jnp.float32))
+        )
+    return np.asarray(_SYNC_FN(x))
 
 
 def time_engine_chain(engine, frames_dev, n=20, reps=2):
@@ -92,7 +103,9 @@ for _ in range(10):
     ts.append((time.perf_counter() - t0) * 1e3)
 print("RESULT", json.dumps({"latency_ms_p50": sorted(ts)[len(ts)//2]}))
 """ % ROOT
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=600)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600, env=env)
     for line in r.stdout.splitlines():
         if line.startswith("RESULT"):
             return json.loads(line[len("RESULT "):])
@@ -108,10 +121,6 @@ def main():
 
     from video_stream_segmenetation_tpu import models, ops, runtime
     from video_stream_segmenetation_tpu.service import Engine
-
-    print("[1] single 256x256 binary mask + blur composite (CPU)...", flush=True)
-    RESULTS["config1_cpu_256"] = config_1_cpu_subprocess()
-    print("   ", RESULTS["config1_cpu_256"], flush=True)
 
     fast = dict(
         matting_input="native", guide_impl="nearest_u8",
@@ -195,6 +204,15 @@ def main():
         sweep[s] = round(time_engine_chain(eng, frames_for(s), n=10), 2)
         print(f"    S={s}: {sweep[s]} ms", flush=True)
     RESULTS["latency_sweep_ms"] = sweep
+
+    # config 1 runs LAST: its CPU child process touches the axon tunnel
+    # during jax plugin discovery and degrades the parent's TPU dispatch
+    # ~100x for the rest of the parent process (measured 2026-08-17:
+    # configs 2-4 read 400-6000 ms/step when it ran first, 3.5-16 ms
+    # otherwise)
+    print("[1] single 256x256 binary mask + blur composite (CPU)...", flush=True)
+    RESULTS["config1_cpu_256"] = config_1_cpu_subprocess()
+    print("   ", RESULTS["config1_cpu_256"], flush=True)
 
     os.makedirs(os.path.join(ROOT, "benchmarks"), exist_ok=True)
     with open(os.path.join(ROOT, "benchmarks", "RESULTS.json"), "w") as f:
