@@ -64,3 +64,15 @@ def test_fused_per_stream_knobs(inputs):
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=2e-5, atol=2e-5)
+
+
+def test_gaussian_blur_mxu_matches_shifted(rng):
+    """Planar matmul blur == shifted-slice blur (same taps/edges)."""
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu import ops
+
+    x = jnp.asarray(rng.random((2, 24, 40, 3)).astype(np.float32))
+    a = ops.gaussian_blur(x, 2.5)
+    b = ops.gaussian_blur_mxu(x, 2.5)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-6)

@@ -59,7 +59,11 @@ from video_stream_segmenetation_tpu.ops.composite import (  # noqa: F401
     multiclass_composite,
     upsample_alpha,
 )
-from video_stream_segmenetation_tpu.ops.blur import gaussian_blur, box_blur  # noqa: F401
+from video_stream_segmenetation_tpu.ops.blur import (  # noqa: F401
+    gaussian_blur,
+    gaussian_blur_mxu,
+    box_blur,
+)
 from video_stream_segmenetation_tpu.ops.layout import (  # noqa: F401
     space_to_depth,
     depth_to_space,

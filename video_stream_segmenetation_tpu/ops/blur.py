@@ -48,6 +48,46 @@ def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int | None = None) -> 
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _blur_matrix(size: int, sigma: float, radius: int | None = None) -> np.ndarray:
+    """Dense banded [size, size] 1-D Gaussian matrix with edge-replicate
+    boundary handling -- exactly the taps of `_conv_axis`."""
+    k = _gaussian_kernel(sigma, radius)
+    r = len(k) // 2
+    m = np.zeros((size, size), np.float32)
+    for i in range(size):
+        for j, kv in enumerate(k):
+            m[i, min(max(i + j - r, 0), size - 1)] += kv
+    return m
+
+
+def gaussian_blur_mxu(
+    img: jnp.ndarray, sigma: float, radius: int | None = None, precision=None
+) -> jnp.ndarray:
+    """Separable Gaussian blur as planar banded matmuls.
+
+    Numerically identical taps to :func:`gaussian_blur` (same kernel,
+    same edge replication), but each axis pass is a dense matmul per
+    channel plane -- the shifted-slice formulation materializes ~2*taps
+    channel-minormost intermediates, which is pathological on TPU at
+    720p (the same layout lesson as ops/resize.py::resize_bilinear_mxu).
+    """
+    import jax
+
+    h, w = img.shape[-3], img.shape[-2]
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
+    bh = jnp.asarray(_blur_matrix(h, float(sigma), radius))
+    bw = jnp.asarray(_blur_matrix(w, float(sigma), radius))
+    dt = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+    planes = []
+    for c in range(img.shape[-1]):
+        x = img[..., c].astype(dt)
+        x = jnp.einsum("oh,...hw->...ow", bh.astype(dt), x, precision=prec)
+        x = jnp.einsum("pw,...hw->...hp", bw.astype(dt), x, precision=prec)
+        planes.append(x)
+    return jnp.stack(planes, axis=-1)
+
+
 def box_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Separable box blur of ``[..., H, W, C]`` -- the cheap large-radius
     path (3 box passes ~ Gaussian)."""

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from video_stream_segmenetation_tpu.ops.blur import gaussian_blur
+from video_stream_segmenetation_tpu.ops.blur import gaussian_blur, gaussian_blur_mxu
 from video_stream_segmenetation_tpu.ops.color import denormalize_to_u8, quantize_alpha_u8
 from video_stream_segmenetation_tpu.ops.resize import resize_bilinear
 
@@ -115,8 +115,18 @@ def multiclass_composite(
     if len(effects) != k:
         raise ValueError(f"need {k} effects, got {len(effects)}")
     if class_alpha.shape[-3:-1] != (h, w):
+        from video_stream_segmenetation_tpu.ops.resize import resize_bilinear_mxu
+
+        # planar MXU upsample (same taps as the gather path; dense
+        # matmuls -- the gather lowering dominates config-5 step time)
         maps = [
-            upsample_alpha(class_alpha[..., i], (h, w), method=upsample_method)
+            jnp.clip(
+                resize_bilinear_mxu(
+                    class_alpha[..., i], (h, w), method=upsample_method,
+                    channel_last=False,
+                ),
+                0.0, 1.0,
+            )
             for i in range(k)
         ]
         class_alpha = jnp.stack(maps, axis=-1)
@@ -134,7 +144,7 @@ def multiclass_composite(
                 jnp.asarray(eff["color"], frame.dtype), frame.shape
             )
         elif "blur" in eff:
-            layer = gaussian_blur(frame, float(eff["blur"]))
+            layer = gaussian_blur_mxu(frame, float(eff["blur"]))
         elif "tint" in eff:
             s = float(eff.get("strength", 0.5))
             tint = jnp.asarray(eff["tint"], frame.dtype)

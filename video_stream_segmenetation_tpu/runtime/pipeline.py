@@ -268,7 +268,18 @@ def make_multiclass_step(bundle: ModelBundle, statics: PipelineStatics):
     def step(params, state: StreamState, frames_u8, background, knobs: PipelineKnobs, face_gate):
         s = frames_u8.shape[0]
         frames_f32 = frames_u8.astype(jnp.float32) / 255.0
-        small = ops.resize_bilinear(frames_f32, (mh, mw), method="asymmetric")
+        # planar MXU resize (same taps; the 720p gather lowering is the
+        # dominant cost of the multiclass step otherwise)
+        small = jnp.stack(
+            [
+                ops.resize_bilinear_mxu(
+                    frames_f32[..., c], (mh, mw), method="asymmetric",
+                    channel_last=False,
+                )
+                for c in range(3)
+            ],
+            axis=-1,
+        )
         ca = bundle.matte_model.apply(params["matte"], small)["alpha"]
         ca = ca.astype(jnp.float32)  # [S, mh, mw, K]
 
@@ -580,7 +591,7 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             )
         else:
             if statics.background == "blur":
-                bg = ops.gaussian_blur(frames_f32, statics.bg_blur_sigma)
+                bg = ops.gaussian_blur_mxu(frames_f32, statics.bg_blur_sigma)
             elif statics.background == "color":
                 bg = jnp.broadcast_to(
                     jnp.asarray(statics.bg_color, jnp.float32), frames_f32.shape
