@@ -29,6 +29,11 @@ def main():
         help="orbax checkpoint dir with trained matting weights "
         "(e.g. checkpoints/mattenet)",
     )
+    ap.add_argument(
+        "--hd", action="store_true",
+        help="run at the serving geometry (720p frames, 288x512 mask) with "
+        "the fast_int8 stack -- requires checkpoints/mattenet_hd10",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -43,15 +48,28 @@ def main():
     from video_stream_segmenetation_tpu.service import Engine
     from video_stream_segmenetation_tpu.service.server import ControlServer
 
-    frame_hw = (240, 320)
-    mask_hw = (96, 128)
-    statics = runtime.PipelineStatics(
-        frame_hw=frame_hw, mask_hw=mask_hw, fd_size=128, lmk_size=96,
-        background="image",
-    )
+    if args.hd:
+        from video_stream_segmenetation_tpu.runtime.presets import preset
+        import dataclasses
+
+        frame_hw = (720, 1280)
+        mask_hw = (288, 512)
+        statics = dataclasses.replace(preset("fast_int8"), background="image")
+        if args.checkpoint is None:
+            args.checkpoint = "checkpoints/mattenet_hd10"
+    else:
+        frame_hw = (240, 320)
+        mask_hw = (96, 128)
+        statics = runtime.PipelineStatics(
+            frame_hw=frame_hw, mask_hw=mask_hw, fd_size=128, lmk_size=96,
+            background="image",
+        )
     engine = Engine(num_streams=args.streams, statics=statics, donate_state=False)
     if args.checkpoint:
         engine.load_matting_params(args.checkpoint)
+    # trained face models, when available (tools/train_face.py)
+    if os.path.isdir("checkpoints/facefinder") and statics.fd_size == 256:
+        engine.load_face_params("checkpoints/facefinder", "checkpoints/landmarknet")
     sched = runtime.StreamScheduler(engine, use_native_pool=True)
 
     # personalized backgrounds from the sample content data
