@@ -1,4 +1,10 @@
-"""Per-stage device timing of the pipeline on real hardware.
+"""Per-stage device timing of individual ops on real hardware.
+
+NOTE: isolated jit timings OVERSTATE in-context costs on this machine
+(jit-boundary arg-layout conversions dominate small ops); use
+tools/bench_step_ablate.py for authoritative step attribution.  This tool
+remains useful for comparing two lowerings of the SAME op (gather vs mxu
+etc.).
 
 Methodology (hard-won, see ARCHITECTURE.md "Performance methodology"):
 * the tunnel breaks block_until_ready -> sync by fetching a scalar;

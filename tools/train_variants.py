@@ -1,0 +1,159 @@
+"""Train the variant-model zoo on synthetic data.
+
+The reference's alternative pipelines consume pretrained ONNX models that
+its repo does not ship (RVM, U2Net -- SURVEY.md §2.4/2.7); a standalone
+framework must be able to produce every weight its zoo needs.  Trains:
+
+* RecurrentMatteNet (the RVM-class ConvGRU variant): unrolled over short
+  translating clips so the recurrent state carries temporal context;
+* SaliencyNet (the U2Net-class variant): plain matting loss at its
+  320x320 canonical geometry;
+* MatteNet(num_classes=4) (BASELINE config 5): 4-way class simplex
+  (background / body / head / facial-feature region) rasterized exactly
+  from the synthetic scene parts.
+
+Run: JAX_PLATFORMS= PYTHONPATH=. python tools/train_variants.py [steps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from video_stream_segmenetation_tpu import models, utils  # noqa: E402
+from video_stream_segmenetation_tpu.models.rvm import init_state  # noqa: E402
+from video_stream_segmenetation_tpu.train.face import synthetic_face_batch  # noqa: E402
+from video_stream_segmenetation_tpu.train.loop import synthetic_matting_batch  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "checkpoints")
+
+
+def _trainer(name, init_params_fn, loss_fn, steps, lr):
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr, weight_decay=1e-5))
+    params = init_params_fn()
+    opt = tx.init(params)
+
+    def step(params, opt, key):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, key), has_aux=True
+        )(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss, metrics
+
+    step = jax.jit(step, donate_argnums=(0, 1))
+    rng = jax.random.PRNGKey(1)
+    for i in range(steps):
+        rng, k = jax.random.split(rng)
+        params, opt, loss, metrics = step(params, opt, k)
+        if i % 200 == 0 or i == steps - 1:
+            m = {k2: round(float(v), 4) for k2, v in metrics.items()}
+            print(f"[{name}] {json.dumps({'step': i, 'loss': round(float(loss), 4), **m})}",
+                  flush=True)
+    return params
+
+
+def train_rvm(steps, hw=(288, 512), batch=8, unroll=3):
+    model = models.RecurrentMatteNet()
+
+    def init_params():
+        return model.init(
+            jax.random.PRNGKey(0), jnp.zeros((batch, *hw, 3)), init_state(batch, hw)
+        )
+
+    def loss_fn(params, key):
+        frames, gt = synthetic_matting_batch(key, batch, hw)
+        shift = jax.random.randint(key, (), -12, 13)
+        state = init_state(batch, hw)
+        total = 0.0
+        for t in range(unroll):
+            f_t = jnp.roll(frames, shift * t, axis=2)
+            g_t = jnp.roll(gt, shift * t, axis=2)
+            out = model.apply(params, f_t, state)
+            state = out["state"]
+            total = total + jnp.abs(out["alpha"] - g_t).mean()
+        l1 = total / unroll
+        return l1, {"alpha_l1": l1}
+
+    return _trainer("rvm", init_params, loss_fn, steps, 7e-4)
+
+
+def train_u2(steps, hw=(320, 320), batch=16):
+    model = models.SaliencyNet()
+
+    def init_params():
+        return model.init(jax.random.PRNGKey(0), jnp.zeros((batch, *hw, 3)))
+
+    def loss_fn(params, key):
+        frames, gt = synthetic_matting_batch(key, batch, hw)
+        out = model.apply(params, frames)
+        l1 = jnp.abs(out["alpha"] - gt).mean()
+        eps = 1e-6
+        p = jnp.clip(out["alpha"], eps, 1 - eps)
+        bce = -(gt * jnp.log(p) + (1 - gt) * jnp.log(1 - p)).mean()
+        return l1 + 0.5 * bce, {"alpha_l1": l1, "bce": bce}
+
+    return _trainer("u2", init_params, loss_fn, steps, 1e-3)
+
+
+def _class_simplex(parts):
+    """Scene parts -> 4-way class maps [B,H,W,4]: bg / body / head /
+    facial features (the per-class-effects contract of config 5)."""
+    feat = parts["feat"] * parts["a_head"]
+    head = jnp.clip(parts["a_head"] - feat, 0.0, 1.0)
+    body = jnp.clip(parts["a_body"] - parts["a_head"], 0.0, 1.0)
+    fg = jnp.maximum(parts["a_body"], parts["a_head"])
+    bg = 1.0 - fg
+    cls = jnp.stack([bg, body, head, feat], axis=-1)
+    return cls / jnp.maximum(cls.sum(-1, keepdims=True), 1e-6)
+
+
+def train_multiclass(steps, hw=(288, 512), batch=12, k=4):
+    model = models.MatteNet(num_classes=k)
+
+    def init_params():
+        return model.init(jax.random.PRNGKey(0), jnp.zeros((batch, *hw, 3)))
+
+    def loss_fn(params, key):
+        frames, _, _, parts = synthetic_face_batch(key, batch, hw, return_parts=True)
+        gt = _class_simplex(parts)
+        out = model.apply(params, frames)
+        a = out["alpha"]  # [B,h,w,K] softmax
+        if a.shape[-3:-1] != gt.shape[-3:-1]:
+            from video_stream_segmenetation_tpu.ops.resize import resize_bilinear
+
+            gt = resize_bilinear(gt, a.shape[-3:-1], method="half_pixel")
+            gt = gt / jnp.maximum(gt.sum(-1, keepdims=True), 1e-6)
+        ce = -(gt * jnp.log(jnp.clip(a, 1e-6, 1.0))).sum(-1).mean()
+        acc = (jnp.argmax(a, -1) == jnp.argmax(gt, -1)).mean()
+        return ce, {"ce": ce, "pixel_acc": acc}
+
+    return _trainer("multiclass", init_params, loss_fn, steps, 1e-3)
+
+
+def main(steps=1200):
+    os.makedirs(OUT, exist_ok=True)
+    p = train_rvm(steps)
+    utils.save_params(os.path.join(OUT, "rvm"), p)
+    print("[rvm] saved", flush=True)
+    p = train_u2(steps)
+    utils.save_params(os.path.join(OUT, "u2net"), p)
+    print("[u2] saved", flush=True)
+    p = train_multiclass(steps)
+    utils.save_params(os.path.join(OUT, "mattenet_multiclass"), p)
+    print("[multiclass] saved", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1200)

@@ -22,6 +22,23 @@ from video_stream_segmenetation_tpu.runtime.config import PipelineStatics
 @functools.lru_cache(maxsize=4)
 def _default_matting(model_name: str = "mattenet"):
     model, params = get_spec(model_name).init_params()
+    # prefer trained weights when the repo checkpoint exists
+    # (tools/train_flagship.py / train_variants.py)
+    import os
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "checkpoints", model_name,
+    )
+    if os.path.isdir(ckpt):
+        try:
+            from video_stream_segmenetation_tpu.utils.checkpoint import (
+                restore_params,
+            )
+
+            params = restore_params(ckpt)
+        except Exception:
+            pass  # incompatible/partial checkpoint: keep the random init
     return model, params
 
 
@@ -44,10 +61,10 @@ def segment(frame, params=None, model_name: str = "mattenet", mask_hw=(288, 512)
     """``segment(frame) -> mask``.
 
     frame: uint8 ``[H, W, 3]`` or ``[S, H, W, 3]``.  Returns float32 alpha
-    at mask resolution (``[h, w]`` or ``[S, h, w]``).  With no params, a
-    deterministic randomly-initialized MatteNet is used (weight training/
-    import is a separate concern; the reference also ships without its
-    matting weights, SURVEY.md §2.7).
+    at mask resolution (``[h, w]`` or ``[S, h, w]``).  With no params, the
+    repo's trained checkpoint for ``model_name`` is loaded when present
+    (checkpoints/, produced by tools/train_flagship.py), else a
+    deterministic randomly-initialized model.
     """
     frames, squeezed = _ensure_batched(frame, 4)
     if params is None:
@@ -62,7 +79,7 @@ def segment(frame, params=None, model_name: str = "mattenet", mask_hw=(288, 512)
 def _composite_jit(frames_u8, alpha, background, bg_mode, bg_blur_sigma, upsample_method):
     f = frames_u8.astype(jnp.float32) / 255.0
     if bg_mode == "blur":
-        bg = ops.gaussian_blur(f, bg_blur_sigma)
+        bg = ops.gaussian_blur_mxu(f, bg_blur_sigma)
     elif bg_mode == "image":
         bg = background.astype(jnp.float32)
         if bg.dtype != f.dtype or bg.shape[-3:-1] != f.shape[-3:-1]:

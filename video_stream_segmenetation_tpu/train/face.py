@@ -62,11 +62,13 @@ def face_template_468() -> np.ndarray:
     return tpl
 
 
-def synthetic_face_batch(key, batch: int, hw: tuple[int, int]):
+def synthetic_face_batch(key, batch: int, hw: tuple[int, int], return_parts=False):
     """Matting-style scenes + facial features + face geometry.
 
     Returns (frame [B,H,W,3] 0..1, box [B,4] px = head bbox,
-    landmarks [B,468,2] px).
+    landmarks [B,468,2] px); with ``return_parts`` also a dict of scene
+    components {a_body, a_head, feat} (each [B,H,W]) -- the ground truth
+    for multi-class segmentation training (BASELINE config 5).
     """
     h, w = hw
     ks = jax.random.split(key, 14)
@@ -118,6 +120,10 @@ def synthetic_face_batch(key, batch: int, hw: tuple[int, int]):
     lm_x = cx.reshape(batch, 1) + tpl[None, :, 0] * hr.reshape(batch, 1)
     lm_y = hy.reshape(batch, 1) + tpl[None, :, 1] * (1.25 * hr).reshape(batch, 1)
     landmarks = jnp.stack([lm_x, lm_y], axis=-1)  # [B, 468, 2] px
+    if return_parts:
+        return frame, box, landmarks, {
+            "a_body": a_body, "a_head": a_head, "feat": dark,
+        }
     return frame, box, landmarks
 
 
