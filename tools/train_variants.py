@@ -73,20 +73,36 @@ def train_rvm(steps, hw=(288, 512), batch=8, unroll=3):
         )
 
     def loss_fn(params, key):
+        from video_stream_segmenetation_tpu.ops.resize import resize_bilinear
+
         frames, gt = synthetic_matting_batch(key, batch, hw)
         shift = jax.random.randint(key, (), -12, 13)
         state = init_state(batch, hw)
         total = 0.0
+        aux = 0.0
         for t in range(unroll):
             f_t = jnp.roll(frames, shift * t, axis=2)
             g_t = jnp.roll(gt, shift * t, axis=2)
             out = model.apply(params, f_t, state)
             state = out["state"]
             total = total + jnp.abs(out["alpha"] - g_t).mean()
+            # short-path supervision on the low-res matte: BCE keeps the
+            # gradient alive where the sigmoid saturates (without it the
+            # net collapses to all-background)
+            a_s = out["alpha_small"]
+            g_s = resize_bilinear(
+                g_t, a_s.shape[-2:], method="half_pixel", channel_last=False
+            )
+            eps = 1e-6
+            p_ = jnp.clip(a_s, eps, 1 - eps)
+            aux = aux + (
+                jnp.abs(a_s - g_s).mean()
+                - (g_s * jnp.log(p_) + (1 - g_s) * jnp.log(1 - p_)).mean()
+            )
         l1 = total / unroll
-        return l1, {"alpha_l1": l1}
+        return l1 + aux / unroll, {"alpha_l1": l1, "aux": aux / unroll}
 
-    return _trainer("rvm", init_params, loss_fn, steps, 7e-4)
+    return _trainer("rvm", init_params, loss_fn, steps, 1e-3)
 
 
 def train_u2(steps, hw=(320, 320), batch=16):

@@ -137,4 +137,9 @@ class RecurrentMatteNet(nn.Module):
             r3.astype(state.r3.dtype),
             r4.astype(state.r4.dtype),
         )
-        return {"alpha": alpha, "state": new_state}
+        # alpha_small (the pre-refinement downsampled matte) rides along
+        # for training: supervising it gives the recurrent decoder a
+        # short gradient path -- with only the full-res L1 the net
+        # collapses to all-background through the saturated sigmoid
+        # (tools/train_variants.py)
+        return {"alpha": alpha, "alpha_small": alpha_small, "state": new_state}

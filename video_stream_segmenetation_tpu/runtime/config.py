@@ -174,8 +174,9 @@ class PipelineStatics:
     # matting_input='native' with the plan-B stem, s2d_block >= 8).
     # The reference's own flagship ships quantized (model_q4f16.onnx).
     matting_precision: str = "bf16"
-    # matting architecture: 'feedforward' or 'recurrent' (RVM-class model
-    # threading ConvGRU state through StreamState.rec)
+    # matting architecture: 'feedforward', 'recurrent' (RVM-class model
+    # threading ConvGRU state through StreamState.rec), or 'saliency'
+    # (U2Net-class SaliencyNet at its canonical square geometry)
     matting_arch: str = "feedforward"
     # multi-class mode (BASELINE config 5): number of segmentation classes
     # (1 = plain matting). With K > 1 the model emits [S,h,w,K] softmax

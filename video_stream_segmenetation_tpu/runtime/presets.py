@@ -73,6 +73,7 @@ _PRESETS = {
     # u2FrameProc.ts: 320-input saliency, no temporal stage, composite
     # against a constant color (soft or hard alpha via ops.binarize_alpha)
     "u2": dict(
+        matting_arch="saliency",
         mask_hw=(320, 320),
         face_path=False,
         morphology=False,

@@ -124,6 +124,11 @@ class Engine:
             matte_p = matte.init(
                 k1, jnp.zeros((1, mh, mw, 3)), rvm_init_state(1, (mh, mw))
             )
+        elif self.statics.matting_arch == "saliency":
+            # U2Net-class saliency variant (u2FrameProc.ts): canonical
+            # square input at mask resolution
+            matte = models.SaliencyNet()
+            matte_p = matte.init(k1, jnp.zeros((1, mh, mw, 3)))
         elif self.statics.matting_input == "native":
             ss = self.statics.s2d_block
             stem_hw = (-(-fh // ss), -(-fw // ss))
