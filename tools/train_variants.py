@@ -151,7 +151,10 @@ def train_multiclass(steps, hw=(288, 512), batch=12, k=4):
 
             gt = resize_bilinear(gt, a.shape[-3:-1], method="half_pixel")
             gt = gt / jnp.maximum(gt.sum(-1, keepdims=True), 1e-6)
-        ce = -(gt * jnp.log(jnp.clip(a, 1e-6, 1.0))).sum(-1).mean()
+        # class-weighted CE: head/feature regions are tiny next to
+        # bg/body; unweighted CE lets the net ignore them
+        w = jnp.asarray([1.0, 1.0, 3.0, 6.0])[: a.shape[-1]]
+        ce = -((gt * jnp.log(jnp.clip(a, 1e-6, 1.0))) * w).sum(-1).mean()
         acc = (jnp.argmax(a, -1) == jnp.argmax(gt, -1)).mean()
         return ce, {"ce": ce, "pixel_acc": acc}
 
