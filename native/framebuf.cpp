@@ -179,36 +179,58 @@ uint64_t vst_push_i420(void* pool, int s, const uint8_t* y, const uint8_t* u,
 // *next* vst_assemble_batch call on the same pool -- double buffering).
 // frame_ids_out (len S) receives the frame id captured per stream (0 if the
 // stream never produced).
+static void assemble_stream(Pool* p, int s, uint8_t* dst,
+                            uint64_t* frame_id_out) {
+    StreamRing& r = p->rings[s];
+    int slot = r.latest.load(std::memory_order_acquire);
+    if (slot < 0) {
+        std::memset(dst, 0, p->frame_bytes);
+        if (frame_id_out) *frame_id_out = 0;
+        return;
+    }
+    // seqlock read: retry while the producer is mid-write
+    for (;;) {
+        uint64_t s0 = r.seq[slot].load(std::memory_order_acquire);
+        if (s0 & 1) { slot = r.latest.load(std::memory_order_acquire); continue; }
+        const uint8_t* src = r.data.data() + slot * p->frame_bytes;
+        if (p->s2d_block > 0)
+            pack_s2d(dst, src, p->height, p->width, p->s2d_block);
+        else
+            std::memcpy(dst, src, p->frame_bytes);
+        uint64_t s1 = r.seq[slot].load(std::memory_order_acquire);
+        if (s0 == s1) break;  // stable snapshot
+        slot = r.latest.load(std::memory_order_acquire);
+    }
+    uint64_t captured = r.frame_id.load(std::memory_order_relaxed);
+    r.consumed_id.store(captured, std::memory_order_relaxed);
+    if (frame_id_out) *frame_id_out = captured;
+}
+
 const uint8_t* vst_assemble_batch(void* pool, uint64_t* frame_ids_out) {
     Pool* p = static_cast<Pool*>(pool);
     int b = p->cur_batch ^ 1;  // write the other buffer
     uint8_t* out = p->batch[b].data();
-    for (int s = 0; s < p->num_streams; ++s) {
-        StreamRing& r = p->rings[s];
-        int slot = r.latest.load(std::memory_order_acquire);
-        uint8_t* dst = out + static_cast<size_t>(s) * p->frame_bytes;
-        if (slot < 0) {
-            std::memset(dst, 0, p->frame_bytes);
-            if (frame_ids_out) frame_ids_out[s] = 0;
-            continue;
-        }
-        // seqlock read: retry while the producer is mid-write
-        for (;;) {
-            uint64_t s0 = r.seq[slot].load(std::memory_order_acquire);
-            if (s0 & 1) { slot = r.latest.load(std::memory_order_acquire); continue; }
-            const uint8_t* src = r.data.data() + slot * p->frame_bytes;
-            if (p->s2d_block > 0)
-                pack_s2d(dst, src, p->height, p->width, p->s2d_block);
-            else
-                std::memcpy(dst, src, p->frame_bytes);
-            uint64_t s1 = r.seq[slot].load(std::memory_order_acquire);
-            if (s0 == s1) break;  // stable snapshot
-            slot = r.latest.load(std::memory_order_acquire);
-        }
-        uint64_t captured = r.frame_id.load(std::memory_order_relaxed);
-        r.consumed_id.store(captured, std::memory_order_relaxed);
-        if (frame_ids_out) frame_ids_out[s] = captured;
-    }
+    for (int s = 0; s < p->num_streams; ++s)
+        assemble_stream(p, s, out + static_cast<size_t>(s) * p->frame_bytes,
+                        frame_ids_out ? frame_ids_out + s : nullptr);
+    p->cur_batch = b;
+    return out;
+}
+
+// Ranged assemble for the group-scheduled latency mode: pack only streams
+// [begin, end) into rows [0, end-begin) of the next batch buffer.  Avoids
+// the full-batch memcpy/pack at groups x the base tick rate when each tick
+// serves one group (runtime/scheduler.py groups>1).
+const uint8_t* vst_assemble_range(void* pool, int begin, int end,
+                                  uint64_t* frame_ids_out) {
+    Pool* p = static_cast<Pool*>(pool);
+    if (begin < 0 || end > p->num_streams || begin >= end) return nullptr;
+    int b = p->cur_batch ^ 1;
+    uint8_t* out = p->batch[b].data();
+    for (int s = begin; s < end; ++s)
+        assemble_stream(p, s,
+                        out + static_cast<size_t>(s - begin) * p->frame_bytes,
+                        frame_ids_out ? frame_ids_out + (s - begin) : nullptr);
     p->cur_batch = b;
     return out;
 }
@@ -281,8 +303,8 @@ void vst_s2d_rgb_to_i420(const uint8_t* packed, int width, int height,
                     clamp_u8(((66 * R + 129 * G + 25 * B + 128) >> 8) + 16);
             }
         }
-        if (r & 1) continue;  // chroma from even rows' 2x2 blocks below
     }
+    // chroma: averaged from each 2x2 block, in a separate pass below
     for (int cr = 0; cr < hh; ++cr) {
         uint8_t* ur = u_out + static_cast<size_t>(cr) * hw;
         uint8_t* vr = v_out + static_cast<size_t>(cr) * hw;

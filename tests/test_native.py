@@ -184,3 +184,34 @@ def test_native_s2d_encode_matches_natural(rng):
     np.testing.assert_array_equal(y1, y2)
     np.testing.assert_array_equal(u1, u2)
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_assemble_range_matches_full(rng):
+    """Ranged assemble (latency-mode group packing) returns exactly the
+    group rows of a full assemble, ids included."""
+    from video_stream_segmenetation_tpu.runtime.native import FramePool
+
+    pool = FramePool(4, 16, 24)
+    frames = (rng.random((4, 16, 24, 3)) * 255).astype(np.uint8)
+    for s in range(4):
+        pool.push_rgb(s, frames[s])
+    full, full_ids = pool.assemble()
+    full = full.copy()
+    grp, grp_ids = pool.assemble_range(1, 3)
+    np.testing.assert_array_equal(grp, full[1:3])
+    np.testing.assert_array_equal(grp_ids, full_ids[1:3])
+    pool.close()
+
+
+def test_assemble_range_s2d(rng):
+    from video_stream_segmenetation_tpu.runtime.native import FramePool
+
+    pool = FramePool(4, 16, 24, s2d_block=2)
+    frames = (rng.random((4, 16, 24, 3)) * 255).astype(np.uint8)
+    for s in range(4):
+        pool.push_rgb(s, frames[s])
+    full, _ = pool.assemble()
+    full = full.copy()
+    grp, _ = pool.assemble_range(2, 4)
+    np.testing.assert_array_equal(grp, full[2:4])
+    pool.close()

@@ -91,3 +91,39 @@ def test_counters_percentiles():
     assert snap["inference_ms_p50"] == 3
     assert snap["total_ms_p95"] == 101
     assert snap["frames_total"] == 20
+
+
+def test_group_step_degrades_to_passthrough(engine, rng):
+    """A poisoned group step must drop to passthrough (health failure),
+    not propagate and kill the scheduler thread (process_group mirrors
+    process()'s recovery path)."""
+    f = _frames(rng)
+    real_step = engine._step
+    engine._step = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+    try:
+        for _ in range(engine.health.max_consecutive_failures):
+            out = engine.process_group(0, 2, f[:1])  # must not raise
+        assert engine.health.state is EngineHealth.DEGRADED
+        np.testing.assert_array_equal(np.asarray(out["frame"]), f[:1])
+        assert np.asarray(out["alpha"]).shape[0] == 1
+    finally:
+        engine._step = real_step
+        engine.health._degraded_at = 0.0
+    out = engine.process_group(0, 2, f[:1])
+    assert engine.health.state is EngineHealth.OK
+
+
+def test_chunked_step_degrades_to_passthrough(engine, rng):
+    f = _frames(rng)
+    real_step = engine._step
+    engine._step = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+    try:
+        for _ in range(engine.health.max_consecutive_failures):
+            out = engine.process_chunked(f, chunk_size=1)  # must not raise
+        assert engine.health.state is EngineHealth.DEGRADED
+        np.testing.assert_array_equal(np.asarray(out["frame"]), f)
+    finally:
+        engine._step = real_step
+        engine.health._degraded_at = 0.0
+    out = engine.process_chunked(f, chunk_size=1)
+    assert engine.health.state is EngineHealth.OK

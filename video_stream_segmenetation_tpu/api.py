@@ -37,8 +37,15 @@ def _default_matting(model_name: str = "mattenet"):
             )
 
             params = restore_params(ckpt)
-        except Exception:
-            pass  # incompatible/partial checkpoint: keep the random init
+        except Exception as e:
+            # incompatible/partial checkpoint: keep the random init, but
+            # say so -- silent fallback serves garbage masks with no signal
+            import warnings
+
+            warnings.warn(
+                f"checkpoint restore failed for {ckpt!r} ({e!r}); "
+                f"serving randomly-initialized {model_name} weights"
+            )
     return model, params
 
 
@@ -79,7 +86,7 @@ def segment(frame, params=None, model_name: str = "mattenet", mask_hw=(288, 512)
 def _composite_jit(frames_u8, alpha, background, bg_mode, bg_blur_sigma, upsample_method):
     f = frames_u8.astype(jnp.float32) / 255.0
     if bg_mode == "blur":
-        bg = ops.gaussian_blur_mxu(f, bg_blur_sigma)
+        bg = ops.gaussian_blur_auto(f, bg_blur_sigma)
     elif bg_mode == "image":
         bg = background.astype(jnp.float32)
         if bg.dtype != f.dtype or bg.shape[-3:-1] != f.shape[-3:-1]:

@@ -61,6 +61,7 @@ from video_stream_segmenetation_tpu.ops.composite import (  # noqa: F401
 )
 from video_stream_segmenetation_tpu.ops.blur import (  # noqa: F401
     gaussian_blur,
+    gaussian_blur_auto,
     gaussian_blur_mxu,
     box_blur,
 )

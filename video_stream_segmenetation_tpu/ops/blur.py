@@ -88,6 +88,21 @@ def gaussian_blur_mxu(
     return jnp.stack(planes, axis=-1)
 
 
+def gaussian_blur_auto(
+    img: jnp.ndarray, sigma: float, radius: int | None = None
+) -> jnp.ndarray:
+    """Backend-dispatched Gaussian blur: the banded-matmul formulation on
+    TPU (MXU-bound, avoids channel-minormost intermediates), the separable
+    shifted-slice formulation elsewhere (the dense [H,H]/[W,W] matmuls are
+    O(H^2 W) and much slower than separable conv on CPU).  Backend is
+    resolved at trace time, so jitted callers specialize per platform."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return gaussian_blur_mxu(img, sigma, radius)
+    return gaussian_blur(img, sigma, radius)
+
+
 def box_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Separable box blur of ``[..., H, W, C]`` -- the cheap large-radius
     path (3 box passes ~ Gaussian)."""

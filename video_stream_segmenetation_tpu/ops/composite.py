@@ -18,7 +18,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from video_stream_segmenetation_tpu.ops.blur import gaussian_blur, gaussian_blur_mxu
+from video_stream_segmenetation_tpu.ops.blur import (
+    gaussian_blur,
+    gaussian_blur_auto,
+    gaussian_blur_mxu,
+)
 from video_stream_segmenetation_tpu.ops.color import denormalize_to_u8, quantize_alpha_u8
 from video_stream_segmenetation_tpu.ops.resize import resize_bilinear
 
@@ -144,7 +148,7 @@ def multiclass_composite(
                 jnp.asarray(eff["color"], frame.dtype), frame.shape
             )
         elif "blur" in eff:
-            layer = gaussian_blur_mxu(frame, float(eff["blur"]))
+            layer = gaussian_blur_auto(frame, float(eff["blur"]))
         elif "tint" in eff:
             s = float(eff.get("strength", 0.5))
             tint = jnp.asarray(eff["tint"], frame.dtype)

@@ -48,6 +48,11 @@ def _load():
     ]
     lib.vst_assemble_batch.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.vst_assemble_batch.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
+    lib.vst_assemble_range.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.vst_assemble_range.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
     lib.vst_stream_drops.restype = ctypes.c_uint64
     lib.vst_stream_drops.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.vst_frame_bytes.restype = ctypes.c_int
@@ -187,6 +192,24 @@ class FramePool:
         else:
             batch = buf.reshape(self.num_streams, self.height, self.width, 3)
         return batch, np.asarray(self._ids, dtype=np.uint64).copy()
+
+    def assemble_range(self, begin: int, end: int) -> tuple[np.ndarray, np.ndarray]:
+        """Snapshot only streams ``[begin, end)`` (group-scheduled latency
+        mode): packs just the group's rows instead of the full batch, so a
+        groups>1 scheduler does 1/groups of the assembly bandwidth per
+        tick.  Returns (batch [end-begin, ...], frame_ids [end-begin])."""
+        if not (0 <= begin < end <= self.num_streams):
+            raise ValueError(f"bad range [{begin}, {end})")
+        g = end - begin
+        ptr = self._lib.vst_assemble_range(self._pool, begin, end, self._ids)
+        n = g * self.height * self.width * 3
+        buf = np.ctypeslib.as_array(ptr, shape=(n,))
+        if self.s2d_block:
+            b = self.s2d_block
+            batch = buf.reshape(g, self.height // b, self.width // b, b * b * 3)
+        else:
+            batch = buf.reshape(g, self.height, self.width, 3)
+        return batch, np.asarray(self._ids[:g], dtype=np.uint64).copy()
 
     def drops(self, stream: int) -> int:
         """Frames overwritten before ever being batched (producer faster

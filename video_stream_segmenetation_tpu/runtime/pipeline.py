@@ -591,7 +591,7 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             )
         else:
             if statics.background == "blur":
-                bg = ops.gaussian_blur_mxu(frames_f32, statics.bg_blur_sigma)
+                bg = ops.gaussian_blur_auto(frames_f32, statics.bg_blur_sigma)
             elif statics.background == "color":
                 bg = jnp.broadcast_to(
                     jnp.asarray(statics.bg_color, jnp.float32), frames_f32.shape

@@ -99,17 +99,22 @@ class StreamScheduler:
         With ``groups > 1`` only the current round-robin group's rows are
         stepped (latency mode); its result carries the ``slots`` range.
         """
-        if self.pool is not None:
-            batch, ids = self.pool.assemble()
-        else:
-            batch, ids = self._frames, None
         if self.groups > 1:
             g = self.ticks % self.groups
             gs = self.engine.num_streams // self.groups
-            out = self.engine.process_group(g, self.groups, batch[g * gs:(g + 1) * gs])
-            if ids is not None:
-                ids = ids[g * gs:(g + 1) * gs]
+            if self.pool is not None:
+                # ranged assemble: pack only this group's rows (the full-
+                # batch assemble at groups x the tick rate would re-copy
+                # (groups-1)/groups of the frames just to discard them)
+                gbatch, ids = self.pool.assemble_range(g * gs, (g + 1) * gs)
+            else:
+                gbatch, ids = self._frames[g * gs:(g + 1) * gs], None
+            out = self.engine.process_group(g, self.groups, gbatch)
         else:
+            if self.pool is not None:
+                batch, ids = self.pool.assemble()
+            else:
+                batch, ids = self._frames, None
             out = self.engine.process(batch)
         self.ticks += 1
         if self.on_batch is not None:

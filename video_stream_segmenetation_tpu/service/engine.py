@@ -343,32 +343,50 @@ class Engine:
         gate = jnp.asarray(
             (now - self._last_face_at[i0:i1]) >= self.face_min_interval_s
         )
-        frames_j = jnp.asarray(frames, dtype=jnp.uint8)
+        frames_in = jnp.asarray(frames, dtype=jnp.uint8)
+        frames_j = frames_in
         if self._pack_frames is not None and frames_j.shape[-1] == 3:
             frames_j = self._pack_frames(frames_j)
 
         rows = lambda tree: jax.tree_util.tree_map(lambda x: x[i0:i1], tree)
+        degraded = (
+            self.health.state is EngineHealth.DEGRADED
+            and not self.health.should_probe
+        )
         t1 = time.perf_counter()
-        new_gstate, out = self._step(
-            self.bundle.params, rows(self.state), frames_j,
-            self.backgrounds[i0:i1], rows(self.knobs), gate,
-        )
-        jax.block_until_ready(out["frame"])
-        self.state = jax.tree_util.tree_map(
-            lambda full, g: full.at[i0:i1].set(g), self.state, new_gstate
-        )
-        applied = np.zeros((self.num_streams,), bool)
-        applied[i0:i1] = np.asarray(out["face_applied"])
-        self._last_face_at[applied] = now
+        if degraded:
+            out_frames = frames_in
+            alpha = jnp.ones((gs, *self.statics.mask_hw), jnp.float32)
+        else:
+            try:
+                new_gstate, out = self._step(
+                    self.bundle.params, rows(self.state), frames_j,
+                    self.backgrounds[i0:i1], rows(self.knobs), gate,
+                )
+                jax.block_until_ready(out["frame"])
+                self.state = jax.tree_util.tree_map(
+                    lambda full, g: full.at[i0:i1].set(g), self.state, new_gstate
+                )
+                applied = np.zeros((self.num_streams,), bool)
+                applied[i0:i1] = np.asarray(out["face_applied"])
+                self._last_face_at[applied] = now
+                self.health.record_success()
+                out_frames = out["frame"]
+                if self._unpack_frames is not None and out_frames.shape[-1] != 3:
+                    out_frames = self._unpack_frames(out_frames)
+                alpha = out["alpha"]
+            except Exception as e:
+                # same drop-to-passthrough recovery as process(): a Mosaic
+                # fault in latency mode must degrade, not kill the loop
+                self.health.record_failure(e)
+                out_frames = frames_in
+                alpha = jnp.ones((gs, *self.statics.mask_hw), jnp.float32)
+                t1 = t0
         t2 = time.perf_counter()
         self.counters.record_step(gs, (t2 - t1) * 1e3, (t2 - t0) * 1e3)
-        self.health.record_success()
-        out_frames = out["frame"]
-        if self._unpack_frames is not None and out_frames.shape[-1] != 3:
-            out_frames = self._unpack_frames(out_frames)
         return {
             "frame": out_frames,
-            "alpha": out["alpha"],
+            "alpha": alpha,
             "slots": (i0, i1),
             "metrics": self.stats(),
         }
@@ -389,43 +407,61 @@ class Engine:
         self._apply_staged()
         now = time.monotonic()
         gate_np = (now - self._last_face_at) >= self.face_min_interval_s
-        frames_j = jnp.asarray(frames, dtype=jnp.uint8)
+        frames_in = jnp.asarray(frames, dtype=jnp.uint8)
+        frames_j = frames_in
         if self._pack_frames is not None and frames_j.shape[-1] == 3:
             frames_j = self._pack_frames(frames_j)
 
         def rows(tree, i0, i1):
             return jax.tree_util.tree_map(lambda x: x[i0:i1], tree)
 
-        new_states, outs = [], []
-        t1 = time.perf_counter()
-        for i0 in range(0, self.num_streams, chunk_size):
-            i1 = i0 + chunk_size
-            st, out = self._step(
-                self.bundle.params,
-                rows(self.state, i0, i1),
-                frames_j[i0:i1],
-                self.backgrounds[i0:i1],
-                rows(self.knobs, i0, i1),
-                jnp.asarray(gate_np[i0:i1]),
-            )
-            new_states.append(st)
-            outs.append(out)
-        jax.block_until_ready(outs[-1]["frame"])
-        concat = lambda trees: jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *trees
+        degraded = (
+            self.health.state is EngineHealth.DEGRADED
+            and not self.health.should_probe
         )
-        self.state = concat(new_states)
-        out = concat(outs)
-        applied = np.asarray(out["face_applied"])
-        self._last_face_at[applied] = now
+        t1 = time.perf_counter()
+        if degraded:
+            out_frames = frames_in
+            alpha = jnp.ones((self.num_streams, *self.statics.mask_hw), jnp.float32)
+        else:
+            try:
+                new_states, outs = [], []
+                for i0 in range(0, self.num_streams, chunk_size):
+                    i1 = i0 + chunk_size
+                    st, out = self._step(
+                        self.bundle.params,
+                        rows(self.state, i0, i1),
+                        frames_j[i0:i1],
+                        self.backgrounds[i0:i1],
+                        rows(self.knobs, i0, i1),
+                        jnp.asarray(gate_np[i0:i1]),
+                    )
+                    new_states.append(st)
+                    outs.append(out)
+                jax.block_until_ready(outs[-1]["frame"])
+                concat = lambda trees: jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *trees
+                )
+                self.state = concat(new_states)
+                out = concat(outs)
+                applied = np.asarray(out["face_applied"])
+                self._last_face_at[applied] = now
+                self.health.record_success()
+                out_frames = out["frame"]
+                if self._unpack_frames is not None and out_frames.shape[-1] != 3:
+                    out_frames = self._unpack_frames(out_frames)
+                alpha = out["alpha"]
+            except Exception as e:  # drop-to-passthrough, as in process()
+                self.health.record_failure(e)
+                out_frames = frames_in
+                alpha = jnp.ones(
+                    (self.num_streams, *self.statics.mask_hw), jnp.float32
+                )
+                t1 = t0
         t2 = time.perf_counter()
         n_active = int(self.active.sum()) or self.num_streams
         self.counters.record_step(n_active, (t2 - t1) * 1e3, (t2 - t0) * 1e3)
-        self.health.record_success()
-        out_frames = out["frame"]
-        if self._unpack_frames is not None and out_frames.shape[-1] != 3:
-            out_frames = self._unpack_frames(out_frames)
-        return {"frame": out_frames, "alpha": out["alpha"], "metrics": self.stats()}
+        return {"frame": out_frames, "alpha": alpha, "metrics": self.stats()}
 
     # ---- observability -------------------------------------------------
     def stats(self) -> dict:
