@@ -1,0 +1,105 @@
+"""ONNX weight import: parser, executors, and the reference face wrappers.
+
+The reference ships its face models as ONNX binaries (SURVEY.md §2.7);
+utils/onnx_lite.py + utils/onnx_exec.py import and execute them without
+the onnx package.  These tests pin the machinery using the cached
+checkpoints (checkpoints/face_ref/, committed by
+tools/import_reference_weights.py).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_stream_segmenetation_tpu.models import reference_face as rf
+from video_stream_segmenetation_tpu.utils import onnx_exec, onnx_lite
+
+CKPT = rf.CKPT_DIR
+HAVE_ASSETS = os.path.exists(os.path.join(CKPT, rf.LANDMARK_ONNX))
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_ASSETS, reason="reference face weights not imported"
+)
+
+
+def test_parse_contracts():
+    """Graph I/O must match the contracts documented in the reference
+    (client/src/core/model.ts:32-34, frameProcessor.ts:270-291)."""
+    det = onnx_lite.load(os.path.join(CKPT, rf.DETECTOR_ONNX))
+    assert det.graph.inputs == [("image", (1, 3, 256, 256))]
+    assert set(det.graph.outputs) == {"box_coords", "box_scores"}
+
+    blaze = onnx_lite.load(os.path.join(CKPT, rf.BLAZE_ONNX))
+    names = [n for n, _ in blaze.graph.inputs]
+    assert names == ["image", "conf_threshold", "max_detections", "iou_threshold"]
+    assert blaze.graph.outputs == ["selectedBoxes"]
+    assert any(n.op_type == "NonMaxSuppression" for n in blaze.graph.nodes)
+
+
+def test_jax_port_matches_numpy_oracle():
+    """build_jax_fn (serving) vs run (oracle) on the landmark model."""
+    m = onnx_lite.load(os.path.join(CKPT, rf.LANDMARK_ONNX))
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 3, 192, 192), np.float32)
+    ref = onnx_exec.run(m, {"image": img})
+    fn, params = onnx_exec.build_jax_fn(m)
+    got = jax.jit(fn)(params, image=img)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), ref[k], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_nms_padded_matches_onnx_nms():
+    """ops.detect.nms_padded (static shapes) == ONNX greedy NMS."""
+    from video_stream_segmenetation_tpu.ops.detect import nms_padded
+
+    rng = np.random.default_rng(1)
+    n = 40
+    centers = rng.random((n, 2)).astype(np.float32)
+    sizes = (rng.random((n, 2)) * 0.3 + 0.05).astype(np.float32)
+    boxes = np.concatenate(
+        [centers - sizes / 2, centers + sizes / 2], axis=1
+    ).astype(np.float32)
+    scores = rng.random(n).astype(np.float32)
+
+    sel = onnx_exec._np_nms(
+        boxes[None], scores[None, None], 10, 0.4, 0.3, center_box=0
+    )
+    idx, valid = jax.jit(
+        lambda b, s: nms_padded(b, s, 10, 0.4, 0.3)
+    )(jnp.asarray(boxes), jnp.asarray(scores))
+    kept = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(kept, sel[:, 2])
+
+
+def test_reference_wrappers_shapes():
+    """Wrapper contracts match the fast serving models' (blazeface.py /
+    facemesh.py) so the engine can swap them in."""
+    finder = rf.ReferenceFaceFinder()
+    p = finder.init_params()
+    x = jnp.zeros((2, 256, 256, 3), jnp.float32)
+    out = finder.apply(p, x)
+    assert out["box_coords"].shape == (2, 896, 16)
+    assert out["box_scores"].shape == (2, 896)
+    s = np.asarray(out["box_scores"])
+    assert (s >= 0).all() and (s <= 1).all()  # sigmoid probabilities
+
+    lmk = rf.ReferenceLandmarkNet()
+    lp = lmk.init_params()
+    out = lmk.apply(lp, jnp.zeros((2, 192, 192, 3), jnp.float32))
+    assert out["landmarks"].shape == (2, 468, 3)
+    assert out["scores"].shape == (2,)
+
+
+def test_varint_parser_roundtrip():
+    """Wire-format primitives on a handcrafted message."""
+    # field 1 varint 300, field 2 length-delimited b"abc"
+    msg = bytes([0x08, 0xAC, 0x02, 0x12, 0x03]) + b"abc"
+    fields = list(onnx_lite._iter_fields(msg))
+    assert fields[0] == (1, 0, 300)
+    assert fields[1] == (2, 2, b"abc")

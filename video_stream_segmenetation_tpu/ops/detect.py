@@ -170,3 +170,37 @@ def nms(
         body, (alive,), None, length=max_detections
     )
     return out_boxes, out_scores, out_valid
+
+
+def nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    capacity: int,
+    iou_threshold: jnp.ndarray | float,
+    score_threshold: jnp.ndarray | float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS returning padded *indices* -- the static-shape form of
+    ONNX NonMaxSuppression (used by the blaze.onnx graph port,
+    utils/onnx_exec.py).  boxes ``[N, 4]`` corner format (either axis
+    order; IoU is order-symmetric), scores ``[N]``.  Returns
+    (idx ``[capacity]`` int32, valid ``[capacity]`` bool) in descending
+    score order of the kept boxes."""
+    alive = scores > jnp.asarray(score_threshold, scores.dtype)
+
+    def body(carry, _):
+        alive_c, = carry
+        masked = jnp.where(alive_c, scores, -jnp.inf)
+        idx = jnp.argmax(masked)
+        ok = masked[idx] > -jnp.inf
+        box = boxes[idx]
+        ious = box_iou(box[None, :], boxes)[0]
+        suppress = ious > jnp.asarray(iou_threshold, scores.dtype)
+        alive_n = alive_c & ~suppress
+        alive_n = alive_n.at[idx].set(False)
+        alive_n = jnp.where(ok, alive_n, alive_c)
+        return (alive_n,), (idx.astype(jnp.int32), ok)
+
+    (_,), (idxs, valid) = jax.lax.scan(
+        body, (alive,), None, length=capacity
+    )
+    return idxs, valid

@@ -47,9 +47,9 @@ class Engine:
         self._raw_matte = (bundle.matte_model, bundle.matte_params)
         if self.statics.matting_precision == "int8":
             self._swap_in_quantized()
+        self._donate = (1,) if donate_state else ()
         self._step = jax.jit(
-            runtime.make_step(bundle, self.statics),
-            donate_argnums=(1,) if donate_state else (),
+            runtime.make_step(bundle, self.statics), donate_argnums=self._donate
         )
 
         mh, mw = self.statics.mask_hw
@@ -177,6 +177,28 @@ class Engine:
         self.bundle.face_params = restore_params(face_path)
         if lmk_path is not None:
             self.bundle.lmk_params = restore_params(lmk_path)
+
+    def use_reference_face_models(self) -> None:
+        """Swap in the reference's REAL shipped face weights (the
+        MediaPipe ONNX files the reference commits, SURVEY.md §2.7) for
+        the face subpath: exact-parity detection/landmarks at some speed
+        cost vs the fast dense-conv serving models.  Weights come from
+        checkpoints/face_ref/ (tools/import_reference_weights.py)."""
+        from video_stream_segmenetation_tpu.models.reference_face import (
+            ReferenceFaceFinder,
+            ReferenceLandmarkNet,
+        )
+
+        fd = ReferenceFaceFinder()
+        lm = ReferenceLandmarkNet()
+        self.bundle.face_model = fd
+        self.bundle.face_params = jax.device_put(fd.init_params())
+        self.bundle.lmk_model = lm
+        self.bundle.lmk_params = jax.device_put(lm.init_params())
+        self._step = jax.jit(
+            runtime.make_step(self.bundle, self.statics),
+            donate_argnums=self._donate,
+        )
 
     def load_matting_params(self, path: str) -> None:
         """Load flagship matting weights from an orbax checkpoint dir
