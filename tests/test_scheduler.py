@@ -92,3 +92,65 @@ def test_group_scheduling_latency_mode(rng):
     out_f = eng_f.process(frames)
     got = np.concatenate([np.asarray(out0["frame"]), np.asarray(out1["frame"])])
     np.testing.assert_array_equal(got, np.asarray(out_f["frame"]))
+
+
+def test_pipelined_matches_sequential(rng):
+    """Double-buffered serving (dispatch N+1 before collecting N) must
+    produce byte-identical per-tick results to the synchronous path --
+    streams are independent and state chains on device, so 2-in-flight
+    cannot change numerics."""
+    from video_stream_segmenetation_tpu import runtime as rt
+    from video_stream_segmenetation_tpu.service import Engine
+
+    statics = rt.PipelineStatics(
+        frame_hw=(48, 64), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", face_path=False,
+    )
+    frames = [
+        (rng.random((2, 48, 64, 3)) * 255).astype(np.uint8) for _ in range(4)
+    ]
+
+    seq_eng = Engine(num_streams=2, statics=statics, donate_state=False)
+    seq_out = [np.asarray(seq_eng.process(f)["frame"]) for f in frames]
+
+    pipe_eng = Engine(num_streams=2, statics=statics, donate_state=False)
+    sched = StreamScheduler(pipe_eng, use_native_pool=False)
+    outs = []
+    for f in frames:
+        sched._frames[:] = f
+        out = sched.step_pipelined()
+        if out is not None:
+            outs.append(np.asarray(out["frame"]))
+    out = sched.drain()
+    outs.append(np.asarray(out["frame"]))
+
+    assert len(outs) == len(seq_out)
+    for a, b in zip(outs, seq_out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pipelined_collect_failure_degrades(rng):
+    """An async failure surfacing at collect() must passthrough + record
+    a health failure, not corrupt the loop."""
+    from video_stream_segmenetation_tpu import runtime as rt
+    from video_stream_segmenetation_tpu.service import Engine
+
+    statics = rt.PipelineStatics(
+        frame_hw=(48, 64), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", face_path=False,
+    )
+    eng = Engine(num_streams=2, statics=statics, donate_state=False)
+    f = (rng.random((2, 48, 64, 3)) * 255).astype(np.uint8)
+    token = eng.dispatch(f)
+    # poison the collected output to force a materialization failure
+    class Boom:
+        shape = (2, 32, 64)
+        def __getattr__(self, k):
+            raise RuntimeError("boom")
+    token["out"] = {"frame": Boom(), "alpha": None, "face_applied": None}
+    out = eng.collect(token)
+    np.testing.assert_array_equal(np.asarray(out["frame"]), f)
+    assert eng.health.consecutive_failures >= 1
+    # next dispatch/collect works again (state rolled back)
+    out = eng.collect(eng.dispatch(f))
+    assert out["frame"].shape == (2, 48, 64, 3)

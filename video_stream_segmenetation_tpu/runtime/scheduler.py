@@ -10,9 +10,11 @@ Replaces the reference's rAF loop + promise mutex + landmark cadence gates
   ~S/interval streams hit their `frameIdx % interval == 0` gate instead
   of a thundering herd (the batched generalization of main.ts:55-64);
 * the per-stream min-interval ms gate (L_MIN_MS) lives in the Engine;
-* JAX async dispatch gives the double-buffering: while the device chews
-  step N, the host assembles batch N+1 (the reference's implicit CPU/GPU
-  pipelining, made explicit).
+* double buffering is explicit: `run_forever` keeps ONE step in flight
+  (Engine.dispatch / Engine.collect) -- while the device chews batch N,
+  the host assembles and dispatches batch N+1, syncing batch N only when
+  its successor is already launched (the reference's implicit CPU/GPU
+  pipelining, made real; SURVEY.md §7 step 6).
 """
 
 from __future__ import annotations
@@ -64,6 +66,7 @@ class StreamScheduler:
         self._thread: threading.Thread | None = None
         self.on_batch: Callable[[dict, np.ndarray], None] | None = None
         self.ticks = 0
+        self._inflight: dict | None = None  # double-buffered pipelining
 
     # ---- stream lifecycle with staggered cadence ----------------------
     def admit(self) -> int:
@@ -121,17 +124,58 @@ class StreamScheduler:
             self.on_batch(out, ids)
         return out
 
+    def step_pipelined(self) -> dict | None:
+        """Double-buffered tick: dispatch this tick's batch, then collect
+        the PREVIOUS tick's results -- host assembly of batch N+1 overlaps
+        device compute of batch N (Engine.dispatch/collect).  Returns the
+        previous batch's results (None on the priming tick)."""
+        if self.pool is not None:
+            # the pool's double buffer alternates, so batch N stays valid
+            # while N+1 assembles into the other buffer: safe at depth 1
+            batch, ids = self.pool.assemble()
+        else:
+            # host-array fallback: jnp.asarray may alias numpy memory
+            # (CPU zero-copy); copy so the next tick's mutation cannot
+            # race the in-flight step
+            batch, ids = self._frames.copy(), None
+        token = self.engine.dispatch(batch)
+        token["ids"] = ids
+        prev, self._inflight = self._inflight, token
+        self.ticks += 1
+        if prev is None:
+            return None
+        out = self.engine.collect(prev)
+        if self.on_batch is not None:
+            self.on_batch(out, prev.get("ids"))
+        return out
+
+    def drain(self) -> dict | None:
+        """Collect the in-flight step, if any (end-of-loop flush)."""
+        token, self._inflight = self._inflight, None
+        if token is None:
+            return None
+        out = self.engine.collect(token)
+        if self.on_batch is not None:
+            self.on_batch(out, token.get("ids"))
+        return out
+
     def run_forever(self) -> None:
         self._running = True
         next_t = time.monotonic()
+        pipelined = self.groups == 1  # group mode is already sub-frame
         while self._running:
-            self.step()
+            if pipelined:
+                self.step_pipelined()
+            else:
+                self.step()
             next_t += self.tick_s
             delay = next_t - time.monotonic()
             if delay > 0:
                 time.sleep(delay)
             else:
                 next_t = time.monotonic()  # fell behind; don't spiral
+        if pipelined:
+            self.drain()
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self.run_forever, daemon=True)

@@ -345,6 +345,98 @@ class Engine:
             **extras,
         }
 
+    # ---- double-buffered serving (SURVEY.md §7 step 6) ----------------
+    def dispatch(self, frames: np.ndarray) -> dict:
+        """Launch one batch step WITHOUT waiting for the device.
+
+        JAX async dispatch returns futures immediately; `self.state`
+        advances to the (not yet materialized) new state so the next
+        dispatch chains on-device.  Pair with :meth:`collect` -- keeping
+        one step in flight overlaps host assembly of batch N+1 with
+        device compute of batch N (the double-buffered HBM staging the
+        BASELINE names; the host half is native/framebuf.cpp's double
+        buffer).  Returns an opaque token for collect().
+        """
+        t0 = time.perf_counter()
+        self._apply_staged()
+        now = time.monotonic()
+        gate = jnp.asarray(
+            (now - self._last_face_at) >= self.face_min_interval_s
+        )
+        frames_in = jnp.asarray(frames, dtype=jnp.uint8)
+        frames_j = frames_in
+        if self._pack_frames is not None and frames_j.shape[-1] == 3:
+            frames_j = self._pack_frames(frames_j)
+        token = {"t0": t0, "now": now, "frames_in": frames_in}
+        degraded = (
+            self.health.state is EngineHealth.DEGRADED
+            and not self.health.should_probe
+        )
+        if degraded:
+            token["degraded"] = True
+            return token
+        try:
+            t1 = time.perf_counter()
+            prev_state = None if self._donate else self.state
+            new_state, out = self._step(
+                self.bundle.params, self.state, frames_j,
+                self.backgrounds, self.knobs, gate,
+            )
+            self.state = new_state
+            token.update(out=out, t1=t1, prev_state=prev_state)
+        except Exception as e:  # trace/dispatch-time failure
+            self.health.record_failure(e)
+            token["failed"] = True
+        return token
+
+    def collect(self, token: dict) -> dict:
+        """Wait for a dispatched step and return its results (same dict
+        shape as :meth:`process`).  An asynchronous device failure rolls
+        the engine back (undonated) or cold-restarts per-stream state
+        (donated -- the documented zero-init cold start) and returns the
+        batch's input frames as passthrough."""
+        t0, now = token["t0"], token["now"]
+        frames_in = token["frames_in"]
+        applied = np.zeros((self.num_streams,), bool)
+        if "out" in token:
+            try:
+                out = token["out"]
+                jax.block_until_ready(out["frame"])
+                out_frames = out["frame"]
+                if self._unpack_frames is not None and out_frames.shape[-1] != 3:
+                    out_frames = self._unpack_frames(out_frames)
+                alpha = out["alpha"]
+                applied = np.asarray(out["face_applied"])
+                self.health.record_success()
+                t1 = token["t1"]
+            except Exception as e:  # async execution failure
+                self.health.record_failure(e)
+                if token.get("prev_state") is not None:
+                    self.state = token["prev_state"]
+                else:
+                    # donated buffers are gone: cold-start all streams
+                    self.state = runtime.init_state(
+                        self.num_streams, self.statics.mask_hw,
+                        rec=jax.tree_util.tree_map(jnp.zeros_like,
+                                                   self.state.rec),
+                    )
+                out_frames = frames_in
+                alpha = jnp.ones(
+                    (self.num_streams, *self.statics.mask_hw), jnp.float32
+                )
+                t1 = t0
+        else:
+            out_frames = frames_in
+            alpha = jnp.ones(
+                (self.num_streams, *self.statics.mask_hw), jnp.float32
+            )
+            t1 = t0
+        self._last_face_at[applied] = now
+        t2 = time.perf_counter()
+        n_active = int(self.active.sum()) or self.num_streams
+        self.counters.record_step(n_active, (t2 - t1) * 1e3, (t2 - t0) * 1e3)
+        return {"frame": out_frames, "alpha": alpha, "metrics": self.stats()}
+
     def process_group(self, group: int, num_groups: int, frames: np.ndarray) -> dict:
         """Latency-mode step: process only stream group ``group`` (rows
         ``[g*S/G, (g+1)*S/G)``), leaving other groups' state untouched.
