@@ -122,8 +122,6 @@ def quantize_mattenet_hd(model, params):
     """
     if model.stem_stride < 8:
         raise ValueError("int8 serving path targets plan B (stem_stride >= 8)")
-    if model.num_classes != 1:
-        raise ValueError("int8 path is single-class (v1)")
     p = jax.tree_util.tree_map(np.asarray, params["params"])
     st = jax.tree_util.tree_map(np.asarray, params["batch_stats"])
 
@@ -176,11 +174,17 @@ def quantize_mattenet_hd(model, params):
 
 
 class QuantizedMatteNetHD:
-    """Bundle-compatible int8 serving graph (apply(qparams, x) -> dict)."""
+    """Bundle-compatible int8 serving graph (apply(qparams, x) -> dict).
 
-    def __init__(self, stem_stride: int, head_upsample: int):
+    num_classes > 1 serves the multiclass configuration (BASELINE
+    config 5): same int8 trunk, K-channel heads, per-class planar
+    upsample, softmax over the class axis."""
+
+    def __init__(self, stem_stride: int, head_upsample: int,
+                 num_classes: int = 1):
         self.stem_stride = stem_stride
         self.head_upsample = head_upsample
+        self.num_classes = num_classes
 
     def apply(self, q, x, train: bool = False):
         ss = self.stem_stride
@@ -242,13 +246,27 @@ class QuantizedMatteNetHD:
 
         uf = self.head_upsample
         h0, w0 = alpha_logit.shape[-3], alpha_logit.shape[-2]
-        al = resize_bilinear_mxu(
-            alpha_logit[..., 0].astype(jnp.float32), (uf * h0, uf * w0),
-            method="half_pixel", channel_last=False,
-            precision=jax.lax.Precision.DEFAULT,
+        k = self.num_classes
+        al = jnp.stack(
+            [
+                resize_bilinear_mxu(
+                    alpha_logit[..., c].astype(jnp.float32),
+                    (uf * h0, uf * w0),
+                    method="half_pixel", channel_last=False,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                for c in range(k)
+            ],
+            axis=-1,
         )
+        if k == 1:
+            return {
+                "alpha": jax.nn.sigmoid(al[..., 0].astype(jnp.float32)),
+                "semantic": jax.nn.sigmoid(sem_logit.astype(jnp.float32))[..., 0],
+                "detail": det_logit.astype(jnp.float32)[..., 0],
+            }
         return {
-            "alpha": jax.nn.sigmoid(al.astype(jnp.float32)),
-            "semantic": jax.nn.sigmoid(sem_logit.astype(jnp.float32))[..., 0],
-            "detail": det_logit.astype(jnp.float32)[..., 0],
+            "alpha": jax.nn.softmax(al.astype(jnp.float32), axis=-1),
+            "semantic": jax.nn.softmax(sem_logit.astype(jnp.float32), axis=-1),
+            "detail": det_logit.astype(jnp.float32),
         }

@@ -70,5 +70,6 @@ from video_stream_segmenetation_tpu.ops.layout import (  # noqa: F401
     depth_to_space,
     guide_from_s2d,
     alpha_composite_s2d,
+    multiclass_composite_s2d,
     packed_color,
 )

@@ -178,3 +178,112 @@ def alpha_composite_s2d(
             jnp.clip(jnp.floor(blend + 0.5), 0, 255).astype(jnp.uint8)
         )
     return jnp.concatenate(out_slices, axis=-1)
+
+
+def multiclass_composite_s2d(
+    frame_p: jnp.ndarray,
+    class_alpha: jnp.ndarray,
+    effects,
+    frame_hw: tuple[int, int],
+    block: int,
+    method: Method = "half_pixel",
+    precision=None,
+    blur_sigma_frame: float | None = None,
+) -> jnp.ndarray:
+    """Per-class-effect composite entirely in the packed layout.
+
+    The multiclass generalization of :func:`alpha_composite_s2d` (BASELINE
+    config 5: K class maps, one effect layer per class): K alpha planes are
+    upsampled by the same interp-matmul scheme (the K axis rides as a
+    batch dim), each class's layer is built lane-sliced, and the blend
+    accumulates per packed row-parity slice -- the natural uint8 layout is
+    never reconstructed on device.
+
+    effects: list of K dicts -- {"keep"}, {"color": rgb}, {"tint": rgb,
+    "strength": s}, {"blur": sigma}.  **Blur semantics**: computed at the
+    class-map resolution on the nearest-gathered guide
+    (:func:`guide_from_s2d`) with sigma scaled by mh/fh, then bilinearly
+    upsampled -- the standard downscale-blur-upscale serving approximation
+    (a full-res separable blur in packed layout would need cross-lane
+    mixing; the approximation is visually identical for background blur
+    and is pinned by its own oracle in tests/test_s2d.py).
+
+    frame_p ``[S, H/b, W/b, b*b*3]`` uint8; class_alpha ``[S, mh, mw, K]``.
+    Returns the packed uint8 composite.
+    """
+    import jax
+
+    fh, fw = frame_hw
+    b = block
+    hp, wp = fh // b, fw // b
+    mh, mw = class_alpha.shape[-3], class_alpha.shape[-2]
+    k = class_alpha.shape[-1]
+    if len(effects) != k:
+        raise ValueError(f"need {k} effects, got {len(effects)}")
+    prec = jax.lax.Precision.DEFAULT if precision is None else precision
+    dt = jnp.bfloat16 if prec == jax.lax.Precision.DEFAULT else jnp.float32
+    s = frame_p.shape[0]
+
+    a_h = _interp_matrix(fh, mh, method)                      # [fh, mh]
+    a_w = jnp.asarray(_interp_matrix(fw, mw, method), dt)     # [fw, mw]
+    # K planes through one einsum: k rides as a batch axis
+    bmat = jnp.einsum(
+        "xw,smwk->skmx", a_w, class_alpha.astype(dt), precision=prec
+    )  # [S, K, mh, fw]
+
+    # blurred-guide RGB (only if some class wants blur)
+    blur_bmat = None
+    if any("blur" in e for e in effects):
+        from video_stream_segmenetation_tpu.ops.blur import gaussian_blur_mxu
+
+        guide = guide_from_s2d(
+            frame_p, frame_hw, (mh, mw), b, method=method
+        ).astype(jnp.float32) / 255.0
+        sigma = float(next(e["blur"] for e in effects if "blur" in e))
+        if blur_sigma_frame is not None:
+            sigma = float(blur_sigma_frame)
+        sigma_small = max(sigma * mh / fh, 0.5)
+        blurred = gaussian_blur_mxu(guide, sigma_small)       # [S, mh, mw, 3]
+        blur_bmat = jnp.einsum(
+            "xw,smwc->scmx", a_w, blurred.astype(dt), precision=prec
+        )  # [S, 3, mh, fw]
+
+    out_slices = []
+    for dy in range(b):
+        v = jnp.asarray(a_h[dy::b], dt)                       # [hp, mh]
+        a_dy = jnp.einsum("im,skmx->skix", v, bmat, precision=prec)
+        a_dy = jnp.clip(a_dy.astype(jnp.float32), 0.0, 1.0)   # [S, K, hp, fw]
+        # renormalize the upsampled simplex (per-class interp can break it)
+        a_dy = a_dy / jnp.maximum(a_dy.sum(axis=1, keepdims=True), 1e-6)
+
+        f_sl = frame_p[..., 3 * b * dy : 3 * b * (dy + 1)].astype(jnp.float32)
+        if blur_bmat is not None:
+            bl = jnp.einsum("im,scmx->scix", v, blur_bmat, precision=prec)
+            bl = jnp.clip(bl.astype(jnp.float32), 0.0, 1.0) * 255.0
+            # [S, 3, hp, fw] -> packed slice [S, hp, wp, 3b] (c minormost)
+            bl_sl = bl.transpose(0, 2, 3, 1).reshape(s, hp, wp, 3 * b)
+
+        acc = jnp.zeros_like(f_sl)
+        for ci, eff in enumerate(effects):
+            ak = a_dy[:, ci]                                   # [S, hp, fw]
+            ak3 = jnp.broadcast_to(
+                ak.reshape(s, hp, wp, b, 1), (s, hp, wp, b, 3)
+            ).reshape(s, hp, wp, 3 * b)
+            if eff.get("keep"):
+                layer = f_sl
+            elif "color" in eff:
+                col = jnp.asarray(eff["color"], jnp.float32) * 255.0
+                layer = jnp.broadcast_to(jnp.tile(col, b), f_sl.shape)
+            elif "blur" in eff:
+                layer = bl_sl
+            elif "tint" in eff:
+                st = float(eff.get("strength", 0.5))
+                tint = jnp.tile(jnp.asarray(eff["tint"], jnp.float32) * 255.0, b)
+                layer = f_sl * (1.0 - st) + tint * st
+            else:
+                raise ValueError(f"unknown effect: {eff}")
+            acc = acc + layer * ak3
+        out_slices.append(
+            jnp.clip(jnp.floor(acc + 0.5), 0, 255).astype(jnp.uint8)
+        )
+    return jnp.concatenate(out_slices, axis=-1)

@@ -265,22 +265,30 @@ def make_multiclass_step(bundle: ModelBundle, statics: PipelineStatics):
         [{"blur": statics.bg_blur_sigma}] + [{"keep": True}] * (k - 1)
     )
 
+    s2d = statics.frame_layout == "s2d"
+
     def step(params, state: StreamState, frames_u8, background, knobs: PipelineKnobs, face_gate):
         s = frames_u8.shape[0]
-        frames_f32 = frames_u8.astype(jnp.float32) / 255.0
-        # planar MXU resize (same taps; the 720p gather lowering is the
-        # dominant cost of the multiclass step otherwise)
-        small = jnp.stack(
-            [
-                ops.resize_bilinear_mxu(
-                    frames_f32[..., c], (mh, mw), method="asymmetric",
-                    channel_last=False,
-                )
-                for c in range(3)
-            ],
-            axis=-1,
-        )
-        ca = bundle.matte_model.apply(params["matte"], small)["alpha"]
+        if s2d:
+            # fast stack (same design as the single-class fast_int8 path):
+            # packed ingestion feeds the HD trunk directly; the model
+            # emits the class maps at mask resolution
+            ca = bundle.matte_model.apply(params["matte"], frames_u8)["alpha"]
+        else:
+            frames_f32 = frames_u8.astype(jnp.float32) / 255.0
+            # planar MXU resize (same taps; the 720p gather lowering is
+            # the dominant cost of the multiclass step otherwise)
+            small = jnp.stack(
+                [
+                    ops.resize_bilinear_mxu(
+                        frames_f32[..., c], (mh, mw), method="asymmetric",
+                        channel_last=False,
+                    )
+                    for c in range(3)
+                ],
+                axis=-1,
+            )
+            ca = bundle.matte_model.apply(params["matte"], small)["alpha"]
         ca = ca.astype(jnp.float32)  # [S, mh, mw, K]
 
         # per-class EMA over the class simplex; prev_alpha holds class 1..
@@ -293,10 +301,16 @@ def make_multiclass_step(bundle: ModelBundle, statics: PipelineStatics):
         blended = jnp.where(init, kk * prev + (1 - kk) * ca, ca)
         blended = blended / jnp.maximum(blended.sum(-1, keepdims=True), 1e-6)
 
-        out_u8 = ops.multiclass_composite(
-            frames_f32, blended, effects,
-            upsample_method=statics.upsample_method, out_u8=True,
-        )
+        if s2d:
+            out_u8 = ops.multiclass_composite_s2d(
+                frames_u8, blended, effects, (fh, fw), statics.s2d_block,
+                method=statics.upsample_method,
+            )
+        else:
+            out_u8 = ops.multiclass_composite(
+                frames_f32, blended, effects,
+                upsample_method=statics.upsample_method, out_u8=True,
+            )
         new_state = StreamState(
             prev_alpha=blended[..., 1:2].sum(-1) if k > 1 else blended[..., 0],
             affine=state.affine,
@@ -326,8 +340,8 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
     0..1, knobs, face_gate [S] bool) -> (new_state, outputs dict)
     """
     if statics.num_classes > 1:
-        if statics.frame_layout == "s2d":
-            raise ValueError("frame_layout='s2d' is not supported in multiclass mode")
+        if statics.frame_layout == "s2d" and statics.matting_input != "native":
+            raise ValueError("multiclass s2d requires matting_input='native'")
         return make_multiclass_step(bundle, statics)
     mh, mw = statics.mask_hw
     fh, fw = statics.frame_hw

@@ -90,6 +90,24 @@ _PRESETS = {
             {"tint": (0.3, 0.5, 0.9), "strength": 0.3},
         ),
     ),
+    # config 5 on the fast stack: s2d packed ingestion, plan-B int8 HD
+    # trunk with K-class heads, packed per-class composite
+    # (ops.multiclass_composite_s2d) -- no full-res reconstruction
+    "multiclass_fast": dict(
+        num_classes=4,
+        class_effects=(
+            {"blur": 8.0},
+            {"keep": True},
+            {"tint": (0.9, 0.7, 0.3), "strength": 0.3},
+            {"tint": (0.3, 0.5, 0.9), "strength": 0.3},
+        ),
+        matting_input="native",
+        frame_layout="s2d",
+        s2d_block=10,
+        matting_precision="int8",
+        resize_impl="mxu",
+        face_path=False,
+    ),
 }
 
 

@@ -113,8 +113,19 @@ class Engine:
         from video_stream_segmenetation_tpu import models
 
         if self.statics.num_classes > 1:
-            matte = models.MatteNet(num_classes=self.statics.num_classes)
-            matte_p = matte.init(k1, jnp.zeros((1, mh, mw, 3)))
+            if self.statics.matting_input == "native":
+                # multiclass fast stack: HD trunk, K-class heads
+                ss = self.statics.s2d_block
+                stem_hw = (-(-fh // ss), -(-fw // ss))
+                uf = max(1, mh // stem_hw[0])
+                matte = models.MatteNetHD(
+                    stem_stride=ss, head_upsample=uf,
+                    num_classes=self.statics.num_classes,
+                )
+                matte_p = matte.init(k1, jnp.zeros((1, fh, fw, 3)))
+            else:
+                matte = models.MatteNet(num_classes=self.statics.num_classes)
+                matte_p = matte.init(k1, jnp.zeros((1, mh, mw, 3)))
         elif self.statics.matting_arch == "recurrent":
             from video_stream_segmenetation_tpu.models.rvm import (
                 init_state as rvm_init_state,
@@ -165,7 +176,9 @@ class Engine:
         model, params = self._raw_matte
         self.bundle.matte_params = quantize_mattenet_hd(model, params)
         self.bundle.matte_model = QuantizedMatteNetHD(
-            stem_stride=model.stem_stride, head_upsample=model.head_upsample
+            stem_stride=model.stem_stride,
+            head_upsample=model.head_upsample,
+            num_classes=model.num_classes,
         )
 
     def load_face_params(self, face_path: str, lmk_path: str | None = None) -> None:
