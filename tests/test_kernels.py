@@ -76,3 +76,40 @@ def test_gaussian_blur_mxu_matches_shifted(rng):
     a = ops.gaussian_blur(x, 2.5)
     b = ops.gaussian_blur_mxu(x, 2.5)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-6)
+
+
+def test_conv3x3_i8_fused_matches_quantized_ops(rng):
+    """Pallas fused int8 conv (kernels/conv_int8.py) == the XLA int8
+    serving ops (models/quantized.py) bit-exactly, with and without the
+    residual epilogue."""
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu.kernels.conv_int8 import (
+        conv3x3_i8_fused,
+    )
+    from video_stream_segmenetation_tpu.models.quantized import (
+        _conv_i8,
+        _requant,
+    )
+
+    S, H, W, C, CO = 2, 16, 32, 128, 128
+    x = jnp.asarray(rng.integers(0, 127, (S, H, W, C)).astype(np.int8))
+    wq = jnp.asarray(rng.integers(-127, 127, (3, 3, C, CO)).astype(np.int8))
+    mult = jnp.asarray(rng.random(CO).astype(np.float32) * 1e-3)
+    bias = jnp.asarray((rng.random(CO).astype(np.float32) - 0.5))
+    layer = {"wq": wq, "mult": mult, "bias": bias}
+
+    ref = np.asarray(_requant(_conv_i8(x, layer)))
+    got = np.asarray(conv3x3_i8_fused(x, wq, mult, bias, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+    res = jnp.asarray(rng.integers(0, 127, (S, H, W, CO)).astype(np.int8))
+    ref = np.asarray(
+        _requant(_conv_i8(x, layer) + res.astype(jnp.float32) * (6.0 / 127.0))
+    )
+    got = np.asarray(
+        conv3x3_i8_fused(
+            x, wq, mult, bias, residual=res, with_residual=True, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, ref)

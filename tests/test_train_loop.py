@@ -1,6 +1,7 @@
 """Training loop: synthetic data generator + fit() improves IoU."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -35,3 +36,26 @@ def test_fit_improves_iou():
     out = model.apply(params, frames)
     iou = float(train.iou_metric(out["alpha"], gt).mean())
     assert iou > 0.3
+
+
+def test_real_bg_data_fn_shapes():
+    """Real-photo data_fn (train/realdata.py): shapes/ranges; skipped
+    when the reference checkout's photos are absent."""
+    import jax
+
+    from video_stream_segmenetation_tpu.train import realdata
+
+    try:
+        bank = realdata.load_background_bank((24, 32), max_images=2)
+    except FileNotFoundError:
+        pytest.skip("no real background photos available")
+    fn = realdata.make_real_bg_data_fn(bank)
+    frames, alpha = fn(jax.random.PRNGKey(0), 3, (24, 32))
+    assert frames.shape == (3, 24, 32, 3)
+    assert alpha.shape == (3, 24, 32)
+    f = np.asarray(frames)
+    assert f.min() >= 0.0 and f.max() <= 1.0
+    assert 0.0 < float(np.asarray(alpha).mean()) < 1.0
+    # a second key gives different backgrounds (augmentation is live)
+    frames2, _ = fn(jax.random.PRNGKey(1), 3, (24, 32))
+    assert np.abs(np.asarray(frames2) - f).max() > 0.05

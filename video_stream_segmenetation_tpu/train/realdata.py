@@ -1,0 +1,122 @@
+"""Non-procedural training data: real photographic backgrounds.
+
+The round-1 quality path trained everything on fully procedural scenes
+(train/loop.py::synthetic_matting_batch).  This module exercises the
+`data_fn` hook with REAL image data: the reference repo commits 15 real
+1920x1080 background photographs (client/src/assets/backgrounds/ --
+referenced by its data.json, SURVEY.md §2.5); we load them once, then
+each training batch composites the procedural person over random
+augmented crops of real photos (scale/flip/color jitter) -- the standard
+"augmented static photos assembled offline" recipe.
+
+This de-risks the quality ceiling before true human footage exists: a
+model trained against real background statistics must still segment the
+person on the synthetic eval (tools/train_realbg.py records the IoU
+delta in benchmarks/REALDATA.json).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_BG_DIR = "/root/reference/client/src/assets/backgrounds"
+
+
+def person_alpha(key, batch: int, hw: tuple[int, int]) -> jnp.ndarray:
+    """The procedural person matte (body + head soft ellipses) -- the
+    foreground half of synthetic_matting_batch, reusable over any
+    background source."""
+    h, w = hw
+    ks = jax.random.split(key, 7)
+    cx = jax.random.uniform(ks[0], (batch, 1, 1), minval=0.25 * w, maxval=0.75 * w)
+    cy = jax.random.uniform(ks[1], (batch, 1, 1), minval=0.45 * h, maxval=0.85 * h)
+    rx = jax.random.uniform(ks[2], (batch, 1, 1), minval=0.12 * w, maxval=0.28 * w)
+    ry = jax.random.uniform(ks[3], (batch, 1, 1), minval=0.28 * h, maxval=0.5 * h)
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    edge = jax.random.uniform(ks[4], (batch, 1, 1), minval=0.05, maxval=0.2)
+    d_body = jnp.sqrt(((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2)
+    a_body = jnp.clip((1.05 - d_body) / edge, 0.0, 1.0)
+    hy = cy - ry * jax.random.uniform(ks[5], (batch, 1, 1), minval=0.9, maxval=1.2)
+    hr = rx * jax.random.uniform(ks[6], (batch, 1, 1), minval=0.35, maxval=0.55)
+    d_head = jnp.sqrt(((xx - cx) / hr) ** 2 + ((yy - hy) / (hr * 1.25)) ** 2)
+    a_head = jnp.clip((1.05 - d_head) / edge, 0.0, 1.0)
+    return jnp.maximum(a_body, a_head)
+
+
+def load_background_bank(
+    hw: tuple[int, int],
+    directory: str = REF_BG_DIR,
+    max_images: int = 16,
+    oversample: int = 2,
+) -> np.ndarray:
+    """Load real photos -> float [N, oversample*H, oversample*W, 3] bank
+    (host numpy; larger than the training res so random crops have room).
+    Raises FileNotFoundError when no photos are available."""
+    from PIL import Image
+
+    if not os.path.isdir(directory):
+        raise FileNotFoundError(directory)
+    names = sorted(
+        n for n in os.listdir(directory)
+        if n.lower().endswith((".png", ".jpg", ".jpeg"))
+    )[:max_images]
+    if not names:
+        raise FileNotFoundError(f"no images under {directory}")
+    h, w = hw[0] * oversample, hw[1] * oversample
+    bank = np.empty((len(names), h, w, 3), np.float32)
+    for i, n in enumerate(names):
+        img = Image.open(os.path.join(directory, n)).convert("RGB").resize(
+            (w, h), Image.BILINEAR
+        )
+        bank[i] = np.asarray(img, np.float32) / 255.0
+    return bank
+
+
+def make_real_bg_data_fn(bank: np.ndarray, device_bank=None):
+    """data_fn(key, batch, hw) compositing procedural people over
+    augmented random crops of the real-photo bank (train/loop.py::fit
+    hook).  The bank rides to the device ONCE (host->device here is
+    ~1 MB/s; per-batch uploads would dominate)."""
+    bank_j = jnp.asarray(bank) if device_bank is None else device_bank
+    n, bh, bw, _ = bank_j.shape
+
+    def data_fn(key, batch: int, hw: tuple[int, int]):
+        h, w = hw
+        ks = jax.random.split(key, 8)
+        alpha = person_alpha(ks[0], batch, hw)
+
+        idx = jax.random.randint(ks[1], (batch,), 0, n)
+        # random crop window (scale 1x..2x of target, then resized taps)
+        scale = jax.random.uniform(ks[2], (batch,), minval=1.0, maxval=float(bh // h))
+        y0 = jax.random.uniform(ks[3], (batch,)) * (bh - scale * h)
+        x0 = jax.random.uniform(ks[4], (batch,)) * (bw - scale * w)
+
+        yy = jnp.arange(h, dtype=jnp.float32)[None, :]
+        xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+        ys = jnp.clip((y0[:, None] + yy * scale[:, None]).astype(jnp.int32), 0, bh - 1)
+        xs = jnp.clip((x0[:, None] + xx * scale[:, None]).astype(jnp.int32), 0, bw - 1)
+        imgs = bank_j[idx]  # [B, bh, bw, 3]
+        rows = jnp.take_along_axis(imgs, ys[:, :, None, None], axis=1)
+        bg = jnp.take_along_axis(rows, xs[:, None, :, None], axis=2)
+
+        flip = jax.random.bernoulli(ks[5], 0.5, (batch,))
+        bg = jnp.where(flip[:, None, None, None], bg[:, :, ::-1, :], bg)
+        gain = jax.random.uniform(ks[6], (batch, 1, 1, 3), minval=0.7, maxval=1.2)
+        bg = jnp.clip(bg * gain, 0.0, 1.0)
+
+        fg_color = jax.random.uniform(ks[7], (batch, 1, 1, 3), minval=0.25, maxval=0.9)
+        k2 = jax.random.fold_in(ks[7], 1)
+        fg_tex = jax.random.uniform(k2, (batch, h, w, 3), minval=-0.15, maxval=0.15)
+        noise = jax.random.normal(jax.random.fold_in(k2, 2), (batch, h, w, 3)) * 0.02
+        fg = fg_color + fg_tex
+        frame = jnp.clip(
+            fg * alpha[..., None] + bg * (1 - alpha[..., None]) + noise, 0, 1
+        )
+        return frame, alpha
+
+    return data_fn
