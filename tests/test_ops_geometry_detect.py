@@ -203,3 +203,27 @@ def test_decode_anchor_boxes_center_offsets():
     np.testing.assert_allclose(
         out[0, :4], [cx - 0.125, cy - 0.125, cx + 0.125, cy + 0.125], rtol=1e-5
     )
+
+
+def test_affine_video_to_mask_reference_mode_similarity_form():
+    """Pin mode='reference' against the literal JS construction
+    (frameProcessorTest.ts:570-600): A = [s cosT, -s sinT; s sinT,
+    s cosT], only tx/ty scaled by (maskW/videoW, maskH/videoH) -- the
+    bug-compat path parity runs will need."""
+    import math
+
+    s, theta, tx, ty = 1.07, 0.15, 37.5, -12.25
+    a11 = s * math.cos(theta)
+    a12 = -s * math.sin(theta)
+    a21 = s * math.sin(theta)
+    a22 = s * math.cos(theta)
+    vh, vw, mh, mw = 720, 1280, 288, 512
+    got = np.asarray(
+        geometry.affine_video_to_mask(
+            jnp.asarray([a11, a12, tx, a21, a22, ty]),
+            (vh, vw), (mh, mw), mode="reference",
+        )
+    )
+    # the JS returns {a11_v, a12_v, tx*sx, a21_v, a22_v, ty*sy} verbatim
+    want = [a11, a12, tx * (mw / vw), a21, a22, ty * (mh / vh)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -32,6 +32,8 @@ SHAPES = [
     ("d2b 36x64x192", (64, 36, 64, 192), 192),
     ("d3b 18x32x256", (64, 18, 32, 256), 256),
 ]
+if len(sys.argv) > 1:
+    SHAPES = SHAPES[: int(sys.argv[1])]
 
 
 def timeit(fn, *args):
@@ -47,6 +49,13 @@ def timeit(fn, *args):
 
 
 def main():
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        # the tunnel occasionally refuses an attach right after another
+        # process released it; exit distinctly so a wrapper can retry
+        print("TPU not attached (tunnel hiccup) -- rerun", flush=True)
+        raise SystemExit(7)
+    print("device:", dev, flush=True)
     key = jax.random.PRNGKey(0)
     results = {}
     for name, (s, h, w, c), co in SHAPES:

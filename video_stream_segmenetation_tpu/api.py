@@ -131,8 +131,72 @@ def composite(
     return out[0] if squeezed else out
 
 
-def process_frame(frame, background=None, params=None, **composite_kw):
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model_name", "mask_h", "mask_w", "bg_mode", "bg_blur_sigma",
+        "upsample_method",
+    ),
+)
+def _process_jit(
+    params, frames_u8, background, model_name, mask_h, mask_w,
+    bg_mode, bg_blur_sigma, upsample_method,
+):
+    """segment + composite as ONE device program: a single upload and a
+    single download per call (the two-round-trip segment()->composite()
+    chain costs 2x the tunnel/PCIe traffic for the same math)."""
+    model, _ = _default_matting(model_name)
+    f = frames_u8.astype(jnp.float32) / 255.0
+    small = ops.resize_bilinear(f, (mask_h, mask_w), method="asymmetric")
+    alpha = model.apply(params, small)["alpha"].astype(jnp.float32)
+    if bg_mode == "blur":
+        bg = ops.gaussian_blur_auto(f, bg_blur_sigma)
+    elif bg_mode == "image":
+        bg = background.astype(jnp.float32)
+        if bg.shape[-3:-1] != f.shape[-3:-1]:
+            bg = ops.resize_bilinear(bg, f.shape[-3:-1], method="half_pixel")
+        bg = jnp.broadcast_to(bg, f.shape)
+    else:
+        bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), f.shape)
+    out = ops.alpha_composite(
+        f, alpha, background=bg, upsample_method=upsample_method, out_u8=True
+    )
+    return out, alpha
+
+
+def process_frame(
+    frame,
+    background=None,
+    params=None,
+    model_name: str = "mattenet",
+    mask_hw=(288, 512),
+    bg_blur_sigma: float | None = None,
+    upsample_method: str = "half_pixel",
+):
     """segment + composite in one call (the single-stream convenience --
-    what the reference's processFrame does per rAF tick, without state)."""
-    mask = segment(frame, params=params)
-    return composite(frame, mask, background=background, **composite_kw), mask
+    what the reference's processFrame does per rAF tick, without state).
+
+    Unlike calling ``segment`` then ``composite``, this runs as one jitted
+    program: the frame is uploaded once and only the composite + mask come
+    back.  For stateful many-stream serving use `service.Engine`."""
+    frames, squeezed = _ensure_batched(frame, 4)
+    if params is None:
+        _, params = _default_matting(model_name)
+    if background is None and bg_blur_sigma is not None:
+        bg_mode, bg, sig = "blur", jnp.zeros(3), float(bg_blur_sigma)
+    elif background is None:
+        bg_mode, bg, sig = "color", jnp.zeros(3), 0.0
+    elif isinstance(background, (tuple, list)) and len(background) == 3:
+        bg_mode, bg, sig = "color", jnp.asarray(background, jnp.float32), 0.0
+    else:
+        bg = jnp.asarray(background)
+        if bg.dtype == jnp.uint8:
+            bg = bg.astype(jnp.float32) / 255.0
+        bg_mode, sig = "image", 0.0
+    out, mask = _process_jit(
+        params, frames, bg, model_name, mask_hw[0], mask_hw[1],
+        bg_mode, sig, upsample_method,
+    )
+    if squeezed:
+        return out[0], mask[0]
+    return out, mask
