@@ -77,3 +77,39 @@ def test_engine_int8_step(rng):
     assert out["metrics"]["health"]["state"] == "ok"
     a = np.asarray(out["alpha"])
     assert a.shape == (2, *MASK_HW) and np.isfinite(a).all()
+
+
+def test_plan_c_int8_matches_bf16(rng):
+    """Plan-C (decoder='light') int8 graph tracks its bf16 forward."""
+    model = models.MatteNetHD(
+        width=0.5, stem_stride=BLK, head_upsample=4, decoder="light"
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *FRAME_HW, 3)))
+    u8 = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    packed = ops.space_to_depth(u8, BLK)
+    ref = np.asarray(jax.jit(model.apply)(params, packed)["alpha"])
+    q = quantize_mattenet_hd(model, params)
+    qm = QuantizedMatteNetHD(
+        stem_stride=BLK, head_upsample=4, decoder="light"
+    )
+    got = np.asarray(jax.jit(qm.apply)(q, packed)["alpha"])
+    assert got.shape == ref.shape
+    assert np.mean(np.abs(got - ref)) < 0.02
+    assert np.max(np.abs(got - ref)) < 0.25
+
+
+def test_plan_c_engine_preset(rng):
+    """fast_int8_lite preset builds and steps (small geometry)."""
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+    from video_stream_segmenetation_tpu.service import Engine
+
+    statics = preset(
+        "fast_int8_lite", frame_hw=FRAME_HW, mask_hw=MASK_HW,
+        fd_size=64, lmk_size=48, face_path=False, background="color",
+        use_fused_refine=False,
+    )
+    eng = Engine(num_streams=2, statics=statics, donate_state=False)
+    frames = (rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8)
+    out = eng.process(frames)
+    assert out["frame"].shape == (2, *FRAME_HW, 3)
+    assert out["metrics"]["health"]["state"] == "ok"

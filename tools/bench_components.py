@@ -14,7 +14,7 @@ Methodology (hard-won, see ARCHITECTURE.md "Performance methodology"):
   injection (carry scalar folded into the input), chained N times with
   no eager glue, synced once.
 
-Run: JAX_PLATFORMS= PYTHONPATH=. python tools/bench_components.py
+Run: JAX_PLATFORMS= python tools/bench_components.py
 """
 
 from __future__ import annotations

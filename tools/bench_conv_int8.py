@@ -3,7 +3,7 @@
 Chained-dispatch methodology (fori_loop keeps compiles small), single
 scalar sync.  Shapes = the MatteNetHD plan-B trunk classes at S=64.
 
-Run: JAX_PLATFORMS= PYTHONPATH=. python tools/bench_conv_int8.py
+Run: JAX_PLATFORMS= python tools/bench_conv_int8.py
 """
 
 from __future__ import annotations
@@ -36,15 +36,21 @@ if len(sys.argv) > 1:
     SHAPES = SHAPES[: int(sys.argv[1])]
 
 
+_reduce = None
+
+
 def timeit(fn, *args):
+    # sync via a JITTED reducer -- an eager jnp op over the tunnel costs
+    # seconds to minutes (see memory tpu-tunnel-quirks)
+    global _reduce
+    if _reduce is None:
+        _reduce = jax.jit(lambda o: jnp.sum(o[:2, :2, :2, :2].astype(jnp.int32)))
     out = fn(*args)
-    _ = float(jnp.sum(out.astype(jnp.float32) * 1e-9))  # compile+sync
+    _ = np.asarray(_reduce(out))  # compile+sync
     t0 = time.perf_counter()
     out = fn(*args)
-    r = float(jnp.sum(out.astype(jnp.float32) * 1e-9))
+    _ = np.asarray(_reduce(out))
     total = (time.perf_counter() - t0) * 1e3
-    t0 = time.perf_counter()
-    _ = r  # rtt approx: skip (chain is long enough)
     return total / N
 
 

@@ -7,7 +7,7 @@ difference between consecutive prefixes.  Within a chain, the prefix
 output is folded back to a fresh input via a cheap cast/slice so steps
 stay serialized on device.
 
-Run: JAX_PLATFORMS= PYTHONPATH=. python tools/bench_int8_layers.py [S]
+Run: JAX_PLATFORMS= python tools/bench_int8_layers.py [S]
 """
 
 from __future__ import annotations

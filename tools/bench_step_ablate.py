@@ -11,7 +11,7 @@ tunnel compile has degraded dispatch (~100x) for the rest of its life
 (ARCHITECTURE.md perf notes), so sharing one process across variants
 poisons every measurement after the first cold compile.
 
-Run: JAX_PLATFORMS= PYTHONPATH=. python tools/bench_step_ablate.py
+Run: JAX_PLATFORMS= python tools/bench_step_ablate.py
 """
 
 from __future__ import annotations

@@ -8,7 +8,7 @@ Configs (BASELINE.json):
  4. batched multi-stream inference (32x concurrent 720p streams)
  5. multi-class segmentation (person/hair/clothing) with per-class effects
 
-Run: JAX_PLATFORMS= PYTHONPATH=. python tools/bench_suite.py
+Run: JAX_PLATFORMS= python tools/bench_suite.py
 (config 1 runs on the CPU backend in a subprocess, as specified)
 """
 

@@ -23,7 +23,7 @@ weights as the oracle:
    error.  These are the non-self-referential quality numbers VERDICT.md
    round 1 asked for.
 
-Run (CPU is fine): PYTHONPATH=. python tools/face_parity.py
+Run (CPU is fine): python tools/face_parity.py
 Writes PARITY.json at the repo root.
 """
 

@@ -5,7 +5,7 @@ image) and caches initializers as checkpoints/face_ref/*.npz plus the
 graph files (the architecture definition) so serving never needs the
 reference checkout.
 
-Run: PYTHONPATH=. python tools/import_reference_weights.py
+Run: python tools/import_reference_weights.py
 """
 
 from __future__ import annotations

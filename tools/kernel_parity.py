@@ -6,7 +6,7 @@ for (VERDICT round 1, weak #5): run each kernel COMPILED on the chip and
 record max-abs-diff vs its interpreted execution in
 benchmarks/KERNEL_PARITY.json.
 
-Run: JAX_PLATFORMS= PYTHONPATH=. python tools/kernel_parity.py
+Run: JAX_PLATFORMS= python tools/kernel_parity.py
 """
 
 from __future__ import annotations

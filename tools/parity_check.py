@@ -2,10 +2,10 @@
 
 Usage:
   # against reference masks exported elsewhere (npz with key 'masks'):
-  PYTHONPATH=. python tools/parity_check.py --clip clip.npz --ref ref_masks.npz
+  python tools/parity_check.py --clip clip.npz --ref ref_masks.npz
 
   # self-check on a synthetic clip (ground-truth alpha as the reference):
-  PYTHONPATH=. python tools/parity_check.py --synthetic --checkpoint checkpoints/mattenet
+  python tools/parity_check.py --synthetic --checkpoint checkpoints/mattenet
 
 clip npz keys: 'frames' [T,H,W,3] u8 (and optional 'masks' for --ref).
 The reference's own matting weights are not public in its repo

@@ -6,7 +6,7 @@ jittered ROI crops; saves orbax checkpoints the Engine loads via
 ``load_face_params``.  Evaluation: detector box IoU + landmark px error
 on held-out scenes.
 
-Run: JAX_PLATFORMS= PYTHONPATH=. python tools/train_face.py [steps]
+Run: JAX_PLATFORMS= python tools/train_face.py [steps]
 """
 
 from __future__ import annotations

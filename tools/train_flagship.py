@@ -4,7 +4,7 @@ Conv nets are resolution-agnostic: training runs at a reduced geometry
 (fast) and the weights serve at 720p.  Checkpoints land in checkpoints/
 and are picked up by Engine via utils.restore_params.
 
-Run on the TPU:  JAX_PLATFORMS= PYTHONPATH=. python tools/train_flagship.py
+Run on the TPU:  JAX_PLATFORMS= python tools/train_flagship.py
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ from video_stream_segmenetation_tpu import models, train, utils  # noqa: E402
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "checkpoints")
 
 
-def main(steps: int = 600):
+def main(steps: int = 600, only: set[str] | None = None):
     os.makedirs(OUT, exist_ok=True)
     jobs = [
         # (name, model, pretrain hw, lr, serving hw, serving batch) --
@@ -39,8 +39,16 @@ def main(steps: int = 600):
         ("mattenet_hd10",
          models.MatteNetHD(stem_stride=10, head_upsample=4), (240, 320),
          5e-4, (720, 1280), 8),
+        # plan-C lite trunk (the round-2 speed lever; quality vs plan B
+        # recorded in benchmarks/QUALITY.json for the IoU-vs-ms table)
+        ("mattenet_hd10_lite",
+         models.MatteNetHD(stem_stride=10, head_upsample=4, decoder="light"),
+         (240, 320), 5e-4, (720, 1280), 8),
         ("mattenet", models.MatteNet(), (96, 160), 1.5e-3, (288, 512), 16),
     ]
+    if only:
+        jobs = [j for j in jobs if j[0] in only]
+    quality = {}
     for name, model, hw, lr, serve_hw, serve_b in jobs:
         print(f"=== training {name} at {hw} ===", flush=True)
         params, history = train.fit(
@@ -59,7 +67,28 @@ def main(steps: int = 600):
         path = os.path.join(OUT, name)
         utils.save_params(path, params)
         print(f"[{name}] saved to {path}", flush=True)
+        quality[name] = {
+            "pretrain_hw": list(hw), "serve_hw": list(serve_hw),
+            "final_iou_serving_res": history[-1]["iou"],
+            "steps": steps,
+        }
+
+    # append/merge the held-out quality record (IoU-vs-ms table source)
+    qpath = os.path.join(
+        os.path.dirname(OUT), "benchmarks", "QUALITY.json"
+    )
+    existing = {}
+    if os.path.exists(qpath):
+        with open(qpath) as f:
+            existing = json.load(f)
+    existing.update(quality)
+    with open(qpath, "w") as f:
+        json.dump(existing, f, indent=2)
+    print("quality ->", qpath, json.dumps(quality), flush=True)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 600,
+        set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+    )

@@ -8,7 +8,7 @@ matrix to benchmarks/REALDATA.json: the cross-distribution numbers are
 the de-risking signal VERDICT round 1 asked for (does real-image
 training transfer to the synthetic eval and vice versa?).
 
-Run: JAX_PLATFORMS= PYTHONPATH=. python tools/train_realbg.py [steps]
+Run: JAX_PLATFORMS= python tools/train_realbg.py [steps]
 """
 
 from __future__ import annotations

@@ -12,7 +12,7 @@ framework must be able to produce every weight its zoo needs.  Trains:
   (background / body / head / facial-feature region) rasterized exactly
   from the synthetic scene parts.
 
-Run: JAX_PLATFORMS= PYTHONPATH=. python tools/train_variants.py [steps]
+Run: JAX_PLATFORMS= python tools/train_variants.py [steps]
 """
 
 from __future__ import annotations
@@ -161,18 +161,67 @@ def train_multiclass(steps, hw=(288, 512), batch=12, k=4):
     return _trainer("multiclass", init_params, loss_fn, steps, 1e-3)
 
 
-def main(steps=1200):
+def train_multiclass_hd(steps, hw=(720, 1280), batch=6, k=4,
+                        pre_hw=(240, 320), pre_batch=24):
+    """K-class MatteNetHD plan-C for the multiclass fast stack
+    (preset 'multiclass_fast'): pretrain small, fine-tune at 720p (the
+    mandatory serving-resolution phase, train/loop.py::fit)."""
+    model = models.MatteNetHD(
+        stem_stride=10, head_upsample=4, num_classes=k, decoder="light"
+    )
+
+    def loss_at(hw_, batch_):
+        def loss_fn(params, key):
+            frames, _, _, parts = synthetic_face_batch(
+                key, batch_, hw_, return_parts=True
+            )
+            gt = _class_simplex(parts)
+            out = model.apply(params, frames)
+            a = out["alpha"]
+            if a.shape[-3:-1] != gt.shape[-3:-1]:
+                from video_stream_segmenetation_tpu.ops.resize import resize_bilinear
+
+                gt = resize_bilinear(gt, a.shape[-3:-1], method="half_pixel")
+                gt = gt / jnp.maximum(gt.sum(-1, keepdims=True), 1e-6)
+            w = jnp.asarray([1.0, 1.0, 3.0, 6.0])[: a.shape[-1]]
+            ce = -((gt * jnp.log(jnp.clip(a, 1e-6, 1.0))) * w).sum(-1).mean()
+            acc = (jnp.argmax(a, -1) == jnp.argmax(gt, -1)).mean()
+            return ce, {"ce": ce, "pixel_acc": acc}
+        return loss_fn
+
+    def init_params():
+        return model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, *pre_hw, 3))
+        )
+
+    p = _trainer("multiclass_hd/pre", init_params, loss_at(pre_hw, pre_batch),
+                 steps, 5e-4)
+    p = _trainer("multiclass_hd/ft", lambda: p, loss_at(hw, batch),
+                 max(steps // 2, 200), 2e-4)
+    return p
+
+
+def main(steps=1200, only=None):
     os.makedirs(OUT, exist_ok=True)
-    p = train_rvm(steps)
-    utils.save_params(os.path.join(OUT, "rvm"), p)
-    print("[rvm] saved", flush=True)
-    p = train_u2(steps)
-    utils.save_params(os.path.join(OUT, "u2net"), p)
-    print("[u2] saved", flush=True)
-    p = train_multiclass(steps)
-    utils.save_params(os.path.join(OUT, "mattenet_multiclass"), p)
-    print("[multiclass] saved", flush=True)
+    jobs = {
+        "rvm": lambda: utils.save_params(os.path.join(OUT, "rvm"), train_rvm(steps)),
+        "u2net": lambda: utils.save_params(os.path.join(OUT, "u2net"), train_u2(steps)),
+        "multiclass": lambda: utils.save_params(
+            os.path.join(OUT, "mattenet_multiclass"), train_multiclass(steps)
+        ),
+        "multiclass_hd": lambda: utils.save_params(
+            os.path.join(OUT, "mattenet_hd10_mc"), train_multiclass_hd(steps)
+        ),
+    }
+    for name, job in jobs.items():
+        if only and name not in only:
+            continue
+        job()
+        print(f"[{name}] saved", flush=True)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1200)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 1200,
+        set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+    )

@@ -71,6 +71,12 @@ class MatteNetHD(nn.Module):
     num_classes: int = 1
     stem_stride: int = 5
     head_upsample: int = 2
+    # 'full' = plan B decoder (3x3 over the concat at every level);
+    # 'light' = plan C: single b1 conv, 1x1-reduce decoder (u2 keeps one
+    # 3x3 at /2, u1 is 1x1-only; the guided bilateral refine stage
+    # restores edge detail against the full-res guide) -- ~43% fewer
+    # FLOPs, the int8 serving step's round-2 lever (benchmarks/RESULTS.md)
+    decoder: str = "full"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -79,6 +85,8 @@ class MatteNetHD(nn.Module):
             return max(16, int(n * self.width) // 16 * 16)
 
         ss = self.stem_stride
+        if ss >= 8 and self.decoder == "light":
+            return self._plan_c(x, train, c)
         if ss >= 8:
             return self._plan_b(x, train, c)
         # stem: learned downsample (720p/5 = 144x256).  Two input layouts:
@@ -152,6 +160,79 @@ class MatteNetHD(nn.Module):
             sem = nn.softmax(sem_logit.astype(jnp.float32), axis=-1)
             det = det_logit.astype(jnp.float32)
 
+        return {"alpha": alpha, "semantic": sem, "detail": det}
+
+    def _plan_c(self, x, train, c):
+        """Lite lane-perfect trunk (decoder='light'): same stem/deep
+        stages as plan B, ~43% fewer FLOPs -- single 3x3 at the 72x128
+        level, 1x1-reduce decoder.  Flax module order (the int8 quantizer
+        keys off it, models/quantized.py):
+
+          ConvBN_0 stem | ConvBN_1 b1 | ConvBN_2 d2dn | _Block_0 d2b |
+          ConvBN_3 d3dn | _Block_1 d3b | ConvBN_4 ctx2 | ConvBN_5 ctx4 |
+          SEBlock_0 ctxse | ConvBN_6 u2red(1x1) | ConvBN_7 u2(3x3) |
+          ConvBN_8 u1red(1x1) | Conv_0 sem | Conv_1 det | Conv_2 alpha
+        """
+        ss = self.stem_stride
+        patched = x.shape[-1] == 3 * ss * ss
+        if not patched:
+            if x.dtype == jnp.uint8:
+                x = x.astype(self.dtype) / 255.0
+            else:
+                x = x.astype(self.dtype)
+        x0 = ConvBN(
+            c(128), (ss, ss), strides=(ss, ss), dtype=self.dtype,
+            patch_input=patched,
+        )(x, train)  # 72x128
+        b1 = ConvBN(c(128), dtype=self.dtype)(x0, train)  # single 3x3
+        d2 = ConvBN(c(192), strides=(2, 2), dtype=self.dtype)(b1, train)  # 36x64
+        d2 = _Block(c(192), use_se=True, dtype=self.dtype)(d2, train)
+        d3 = ConvBN(c(256), strides=(2, 2), dtype=self.dtype)(d2, train)  # 18x32
+        d3 = _Block(c(256), use_se=True, dtype=self.dtype)(d3, train)
+
+        ctx = ConvBN(c(256), dilation=(2, 2), dtype=self.dtype)(d3, train)
+        ctx = ConvBN(c(256), dilation=(4, 4), act=False, dtype=self.dtype)(ctx, train)
+        ctx = SEBlock(dtype=self.dtype)(nn.relu6(ctx + d3))
+        sem_logit = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(ctx)
+
+        u2 = nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
+        u2 = ConvBN(c(192), (1, 1), dtype=self.dtype)(
+            jnp.concatenate([u2, d2], axis=-1), train
+        )
+        u2 = ConvBN(c(192), dtype=self.dtype)(u2, train)  # one 3x3 at /2
+        u1 = nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]
+        u1 = ConvBN(c(128), (1, 1), dtype=self.dtype)(
+            jnp.concatenate([u1, b1], axis=-1), train
+        )
+        det_logit = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(u1)
+
+        alpha_logit = nn.Conv(
+            self.num_classes, (3, 3), padding="SAME", dtype=self.dtype
+        )(u1)
+        from video_stream_segmenetation_tpu.ops.resize import resize_bilinear_mxu
+
+        uf = self.head_upsample
+        h0, w0 = alpha_logit.shape[-3], alpha_logit.shape[-2]
+        alpha_logit = jnp.stack(
+            [
+                resize_bilinear_mxu(
+                    alpha_logit[..., k].astype(jnp.float32),
+                    (uf * h0, uf * w0),
+                    method="half_pixel",
+                    channel_last=False,
+                )
+                for k in range(self.num_classes)
+            ],
+            axis=-1,
+        )
+        if self.num_classes == 1:
+            alpha = nn.sigmoid(alpha_logit.astype(jnp.float32))[..., 0]
+            sem = nn.sigmoid(sem_logit.astype(jnp.float32))[..., 0]
+            det = det_logit.astype(jnp.float32)[..., 0]
+        else:
+            alpha = nn.softmax(alpha_logit.astype(jnp.float32), axis=-1)
+            sem = nn.softmax(sem_logit.astype(jnp.float32), axis=-1)
+            det = det_logit.astype(jnp.float32)
         return {"alpha": alpha, "semantic": sem, "detail": det}
 
     def _plan_b(self, x, train, c):

@@ -142,7 +142,27 @@ def quantize_mattenet_hd(model, params):
     def cb(name, path):
         q[name] = _qconvbn(p, path, st, ACT_SCALE)
 
-    for blk, pfx in (("_Block_0", "b1"), ("_Block_1", "d2b"), ("_Block_2", "d3b")):
+    lite = getattr(model, "decoder", "full") == "light"
+    if lite:
+        # plan C module order (mattenet_hd.py::_plan_c docstring)
+        blocks = (("_Block_0", "d2b"), ("_Block_1", "d3b"))
+        cb("b1c", ("ConvBN_1",))
+        cb("d2dn", ("ConvBN_2",))
+        cb("d3dn", ("ConvBN_3",))
+        cb("ctx2", ("ConvBN_4",))
+        cb("ctx4", ("ConvBN_5",))
+        cb("u2red", ("ConvBN_6",))
+        cb("u2", ("ConvBN_7",))
+        cb("u1red", ("ConvBN_8",))
+    else:
+        blocks = (("_Block_0", "b1"), ("_Block_1", "d2b"), ("_Block_2", "d3b"))
+        cb("d2dn", ("ConvBN_1",))
+        cb("d3dn", ("ConvBN_2",))
+        cb("ctx2", ("ConvBN_3",))
+        cb("ctx4", ("ConvBN_4",))
+        cb("u2", ("ConvBN_5",))
+        cb("u1", ("ConvBN_6",))
+    for blk, pfx in blocks:
         q[pfx + "/ConvBN_0"] = _qconvbn(p, (blk, "ConvBN_0"), st, ACT_SCALE)
         q[pfx + "/ConvBN_1"] = _qconvbn(p, (blk, "ConvBN_1"), st, ACT_SCALE)
         if "SEBlock_0" in p[blk]:
@@ -152,18 +172,12 @@ def quantize_mattenet_hd(model, params):
                     "kernel": jnp.asarray(dd["kernel"], jnp.float32),
                     "bias": jnp.asarray(dd["bias"], jnp.float32),
                 }
-    cb("d2dn", ("ConvBN_1",))
-    cb("d3dn", ("ConvBN_2",))
-    cb("ctx2", ("ConvBN_3",))
-    cb("ctx4", ("ConvBN_4",))
     for d in ("Dense_0", "Dense_1"):
         dd = p["SEBlock_0"][d]
         q[f"ctxse/{d}"] = {
             "kernel": jnp.asarray(dd["kernel"], jnp.float32),
             "bias": jnp.asarray(dd["bias"], jnp.float32),
         }
-    cb("u2", ("ConvBN_5",))
-    cb("u1", ("ConvBN_6",))
     # float heads
     for name, cv in (("sem", "Conv_0"), ("det", "Conv_1"), ("alpha", "Conv_2")):
         q[name] = {
@@ -181,10 +195,11 @@ class QuantizedMatteNetHD:
     upsample, softmax over the class axis."""
 
     def __init__(self, stem_stride: int, head_upsample: int,
-                 num_classes: int = 1):
+                 num_classes: int = 1, decoder: str = "full"):
         self.stem_stride = stem_stride
         self.head_upsample = head_upsample
         self.num_classes = num_classes
+        self.decoder = decoder
 
     def apply(self, q, x, train: bool = False):
         ss = self.stem_stride
@@ -198,7 +213,10 @@ class QuantizedMatteNetHD:
         y = x.astype(jnp.bfloat16) @ q["stem_w"]
         x0 = _requant(y.astype(jnp.float32) + q["stem_b"])
 
-        b1 = _block(x0, q, None, "b1")
+        if self.decoder == "light":
+            b1 = _requant(_conv_i8(x0, q["b1c"]))  # plan C: single conv
+        else:
+            b1 = _block(x0, q, None, "b1")
         d2 = _requant(_conv_i8(b1, q["d2dn"], strides=(2, 2)))
         d2 = _block(d2, q, None, "d2b")
         d3 = _requant(_conv_i8(d2, q["d3dn"], strides=(2, 2)))
@@ -224,10 +242,19 @@ class QuantizedMatteNetHD:
                   "bias": jnp.zeros_like(layer["bias"])}
             return _requant(_conv_i8(up, la) + _conv_i8(skip, lb))
 
-        u2 = _nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
-        u2 = split_conv(u2, d2, q["u2"])
-        u1 = _nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]
-        u1 = split_conv(u1, b1, q["u1"])
+        if self.decoder == "light":
+            # plan C: 1x1-reduce decoders (split-conv trick works for 1x1
+            # too), one 3x3 at the /2 level only
+            up = _nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
+            u2 = split_conv(up, d2, q["u2red"])
+            u2 = _requant(_conv_i8(u2, q["u2"]))
+            up = _nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]
+            u1 = split_conv(up, b1, q["u1red"])
+        else:
+            u2 = _nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
+            u2 = split_conv(u2, d2, q["u2"])
+            u1 = _nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]
+            u1 = split_conv(u1, b1, q["u1"])
 
         u1f = u1.astype(jnp.bfloat16) * jnp.bfloat16(ACT_SCALE)
         det_logit = u1f @ q["det"]["kernel"][0, 0].astype(jnp.bfloat16) + q[

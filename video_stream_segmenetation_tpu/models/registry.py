@@ -58,6 +58,12 @@ def _specs():
         # 720p-native fast flagship (TPU-first: strided-conv stem does the
         # resize; see models/mattenet_hd.py)
         "mattenet_hd": ModelSpec("mattenet_hd", MatteNetHD, (720, 1280)),
+        # plan-C lite trunk (decoder='light'): ~43% fewer FLOPs, edge
+        # detail delegated to the guided refine stage
+        "mattenet_hd10_lite": ModelSpec(
+            "mattenet_hd10_lite", MatteNetHD, (720, 1280),
+            {"stem_stride": 10, "head_upsample": 4, "decoder": "light"},
+        ),
         # multi-class segmentation variant (BASELINE.json config 5)
         "mattenet_multiclass": ModelSpec(
             "mattenet_multiclass", MatteNet, (288, 512), {"num_classes": 4}

@@ -174,6 +174,10 @@ class PipelineStatics:
     # matting_input='native' with the plan-B stem, s2d_block >= 8).
     # The reference's own flagship ships quantized (model_q4f16.onnx).
     matting_precision: str = "bf16"
+    # MatteNetHD decoder plan ('full' = plan B; 'light' = plan C lite
+    # trunk, ~43% fewer FLOPs with edge detail delegated to the guided
+    # refine stage -- see models/mattenet_hd.py)
+    matting_decoder: str = "full"
     # matting architecture: 'feedforward', 'recurrent' (RVM-class model
     # threading ConvGRU state through StreamState.rec), or 'saliency'
     # (U2Net-class SaliencyNet at its canonical square geometry)

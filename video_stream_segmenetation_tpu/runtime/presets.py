@@ -41,6 +41,21 @@ _PRESETS = {
         crop_impl="mxu",
         resize_impl="mxu",
     ),
+    # fast_int8 with the plan-C lite trunk (matting_decoder='light'):
+    # ~43% fewer model FLOPs; edge detail rides the guided refine stage
+    "fast_int8_lite": dict(
+        matting_input="native",
+        guide_impl="nearest_u8",
+        warp_impl="separable",
+        face_compact=True,
+        frame_layout="s2d",
+        s2d_block=10,
+        face_input="guide",
+        matting_precision="int8",
+        matting_decoder="light",
+        crop_impl="mxu",
+        resize_impl="mxu",
+    ),
     # frameProcessor.ts: BlazeFace center tracking, translation warp
     # (gain 0.9, 50/50 blend), EMA 0.75, gamma 0.8, no morphology/prior;
     # detector on a plain 128 resize every frame

@@ -121,6 +121,7 @@ class Engine:
                 matte = models.MatteNetHD(
                     stem_stride=ss, head_upsample=uf,
                     num_classes=self.statics.num_classes,
+                    decoder=self.statics.matting_decoder,
                 )
                 matte_p = matte.init(k1, jnp.zeros((1, fh, fw, 3)))
             else:
@@ -150,7 +151,10 @@ class Engine:
                     f"of the stem grid ceil(frame/{ss}) = {stem_hw}, got "
                     f"{(mh, mw)}"
                 )
-            matte = models.MatteNetHD(stem_stride=ss, head_upsample=uf)
+            matte = models.MatteNetHD(
+                stem_stride=ss, head_upsample=uf,
+                decoder=self.statics.matting_decoder,
+            )
             matte_p = matte.init(k1, jnp.zeros((1, fh, fw, 3)))
         else:
             matte = models.MatteNet()
@@ -179,6 +183,7 @@ class Engine:
             stem_stride=model.stem_stride,
             head_upsample=model.head_upsample,
             num_classes=model.num_classes,
+            decoder=getattr(model, "decoder", "full"),
         )
 
     def load_face_params(self, face_path: str, lmk_path: str | None = None) -> None:
