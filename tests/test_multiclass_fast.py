@@ -144,3 +144,31 @@ def test_multiclass_fast_preset():
     assert p.num_classes == 4
     assert p.frame_layout == "s2d"
     assert p.matting_precision == "int8"
+    # must match the mattenet_hd10_mc checkpoint's architecture
+    # (tools/train_variants.py::train_multiclass_hd: decoder='light')
+    assert p.matting_decoder == "light"
+
+
+def test_multiclass_plan_c_int8_matches_bf16(rng):
+    """K-class plan-C (decoder='light') int8 graph tracks bf16."""
+    model = models.MatteNetHD(
+        width=0.5, stem_stride=10, head_upsample=4, num_classes=3,
+        decoder="light",
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 160, 3)))
+    from video_stream_segmenetation_tpu.models.quantized import (
+        QuantizedMatteNetHD,
+        quantize_mattenet_hd,
+    )
+
+    u8 = jnp.asarray((rng.random((2, 80, 160, 3)) * 255).astype(np.uint8))
+    packed = ops.space_to_depth(u8, 10)
+    ref = np.asarray(jax.jit(model.apply)(params, packed)["alpha"])
+    q = quantize_mattenet_hd(model, params)
+    qm = QuantizedMatteNetHD(
+        stem_stride=10, head_upsample=4, num_classes=3, decoder="light"
+    )
+    got = np.asarray(jax.jit(qm.apply)(q, packed)["alpha"])
+    assert got.shape == ref.shape
+    assert np.mean(np.abs(got - ref)) < 0.02
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-3)

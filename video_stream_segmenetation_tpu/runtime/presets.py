@@ -105,9 +105,11 @@ _PRESETS = {
             {"tint": (0.3, 0.5, 0.9), "strength": 0.3},
         ),
     ),
-    # config 5 on the fast stack: s2d packed ingestion, plan-B int8 HD
-    # trunk with K-class heads, packed per-class composite
-    # (ops.multiclass_composite_s2d) -- no full-res reconstruction
+    # config 5 on the fast stack: s2d packed ingestion, plan-C int8 HD
+    # trunk with K-class heads (matches the mattenet_hd10_mc checkpoint,
+    # tools/train_variants.py::train_multiclass_hd), packed per-class
+    # composite (ops.multiclass_composite_s2d) -- no full-res
+    # reconstruction
     "multiclass_fast": dict(
         num_classes=4,
         class_effects=(
@@ -120,6 +122,7 @@ _PRESETS = {
         frame_layout="s2d",
         s2d_block=10,
         matting_precision="int8",
+        matting_decoder="light",
         resize_impl="mxu",
         face_path=False,
     ),
