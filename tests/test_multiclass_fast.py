@@ -29,8 +29,11 @@ def _simplex(rng, s, k):
 
 def test_multiclass_composite_s2d_oracle(rng):
     """Packed per-class composite == natural-layout reference with the
-    same documented semantics (per-class mxu upsample + simplex renorm;
-    blur computed at class-map res on the nearest guide, upsampled)."""
+    same documented semantics (ops/layout.py::multiclass_composite_s2d):
+    out = up(w_f) * frame + up(R), where w_f = sum_k alpha_k a_k and
+    R = blurred*255*sum_k beta_k a_k + sum_k c_k a_k are composed at
+    class-map resolution from the re-normalized simplex and upsampled
+    once (mxu taps); blur uses the nearest guide with sigma*mh/fh."""
     frames = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
     ca = jnp.asarray(_simplex(rng, 2, 3))
     fp = ops.space_to_depth(frames, BLK)
@@ -44,45 +47,30 @@ def test_multiclass_composite_s2d_oracle(rng):
     )
 
     # natural-layout oracle of the same semantics
-    up = jnp.stack(
-        [
-            jnp.clip(
-                ops.resize_bilinear_mxu(
-                    ca[..., k], FRAME_HW, method="half_pixel",
-                    channel_last=False,
-                    precision=jax.lax.Precision.HIGHEST,
-                ), 0.0, 1.0,
-            )
-            for k in range(3)
-        ],
-        axis=-1,
+    # EFFECTS: blur 4.0 | keep | tint (0.9,0.2,0.2) strength 0.4
+    can = ca / jnp.maximum(ca.sum(-1, keepdims=True), 1e-6)
+    alpha_w = jnp.asarray([0.0, 1.0, 0.6])
+    beta_w = jnp.asarray([1.0, 0.0, 0.0])
+    cmat = jnp.zeros((3, 3)).at[2].set(
+        jnp.asarray([0.9, 0.2, 0.2]) * 255.0 * 0.4
     )
-    up = up / jnp.maximum(up.sum(-1, keepdims=True), 1e-6)
+    w_f = jnp.einsum("smwk,k->smw", can, alpha_w)
+    w_b = jnp.einsum("smwk,k->smw", can, beta_w)
+    rgb = jnp.einsum("smwk,kc->smwc", can, cmat)
     guide = ops.guide_from_s2d(fp, FRAME_HW, MASK_HW, BLK).astype(jnp.float32) / 255.0
     from video_stream_segmenetation_tpu.ops.blur import gaussian_blur_mxu
 
     sigma_small = max(4.0 * MASK_HW[0] / FRAME_HW[0], 0.5)
     blurred = jnp.clip(gaussian_blur_mxu(guide, sigma_small), 0.0, 1.0)
-    blurred_up = jnp.stack(
-        [
-            jnp.clip(
-                ops.resize_bilinear_mxu(
-                    blurred[..., c], FRAME_HW, method="half_pixel",
-                    channel_last=False,
-                    precision=jax.lax.Precision.HIGHEST,
-                ), 0.0, 1.0,
-            )
-            for c in range(3)
-        ],
-        axis=-1,
-    ) * 255.0
-    f32 = frames.astype(jnp.float32)
-    layers = [
-        blurred_up,
-        f32,
-        f32 * (1 - 0.4) + jnp.asarray([0.9, 0.2, 0.2]) * 255.0 * 0.4,
-    ]
-    want = sum(layers[k] * up[..., k:k + 1] for k in range(3))
+    rgb = rgb + blurred * 255.0 * w_b[..., None]
+
+    up1 = lambda p: ops.resize_bilinear_mxu(
+        p, FRAME_HW, method="half_pixel", channel_last=False,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    wf_up = up1(w_f)
+    rgb_up = jnp.stack([up1(rgb[..., c]) for c in range(3)], axis=-1)
+    want = frames.astype(jnp.float32) * wf_up[..., None] + rgb_up
     want = np.clip(np.floor(np.asarray(want) + 0.5), 0, 255).astype(np.uint8)
 
     d = np.abs(np.asarray(got).astype(np.int16) - want.astype(np.int16))

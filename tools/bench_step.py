@@ -1,7 +1,9 @@
 """Step-speed bench for any preset (bench.py methodology, parameterized).
 
-Run: JAX_PLATFORMS= python tools/bench_step.py [preset] [S] [groupS]
+Run: JAX_PLATFORMS= python tools/bench_step.py [preset] [S] [groupS] [overrides-json]
 e.g.  JAX_PLATFORMS= python tools/bench_step.py fast_int8_lite 64 16
+      JAX_PLATFORMS= python tools/bench_step.py multiclass_fast 64 0 \
+          '{"matting_precision": "bf16"}'
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def main(preset_name: str, S: int, GS: int) -> None:
+def main(preset_name: str, S: int, GS: int, overrides=None) -> None:
     dev = jax.devices()[0]
     if dev.platform == "cpu":
         raise SystemExit(7)
@@ -31,7 +33,7 @@ def main(preset_name: str, S: int, GS: int) -> None:
     from video_stream_segmenetation_tpu.runtime.presets import preset
     from video_stream_segmenetation_tpu.service.engine import Engine
 
-    statics = preset(preset_name)
+    statics = preset(preset_name, **(overrides or {}))
     engine = Engine(num_streams=S, statics=statics, donate_state=False)
     for _ in range(S):
         engine.admit()
@@ -114,4 +116,5 @@ if __name__ == "__main__":
         sys.argv[1] if len(sys.argv) > 1 else "fast_int8",
         int(sys.argv[2]) if len(sys.argv) > 2 else 64,
         int(sys.argv[3]) if len(sys.argv) > 3 else 16,
+        json.loads(sys.argv[4]) if len(sys.argv) > 4 else None,
     )

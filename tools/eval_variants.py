@@ -138,13 +138,15 @@ def eval_case(preset_name, overrides, ckpt, n_frames):
     return res
 
 
-def main(n_frames: int = 24) -> None:
+def main(n_frames: int = 24, only: str | None = None) -> None:
     dev = jax.devices()[0]
     if dev.platform == "cpu" and os.environ.get("JAX_PLATFORMS") != "cpu":
         raise SystemExit(7)
     print("device:", dev, flush=True)
     results = {}
     for name, pname, overrides, ckpt in CASES:
+        if only is not None and name != only:
+            continue
         try:
             results[name] = eval_case(pname, overrides, ckpt, n_frames)
         except Exception as e:
@@ -156,11 +158,16 @@ def main(n_frames: int = 24) -> None:
     if os.path.exists(path):
         with open(path) as f:
             data = json.load(f)
-    data["variants"] = {"device": str(dev), "n_frames": n_frames, **results}
+    prior = data.get("variants", {})
+    prior.update({"device": str(dev), "n_frames": n_frames, **results})
+    data["variants"] = prior
     with open(path, "w") as f:
         json.dump(data, f, indent=2)
     print("wrote variants ->", path)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 24)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 24,
+        sys.argv[2] if len(sys.argv) > 2 else None,
+    )

@@ -88,6 +88,31 @@ def gaussian_blur_mxu(
     return jnp.stack(planes, axis=-1)
 
 
+def gaussian_blur_planar_mxu(
+    plane: jnp.ndarray, sigma: float, radius: int | None = None,
+    precision=None,
+) -> jnp.ndarray:
+    """Planar (no channel axis) Gaussian blur of ``[..., H, W]`` as two
+    banded matmuls -- same taps as :func:`gaussian_blur_mxu` but the
+    caller manages channels (e.g. as a leading batch axis), so no
+    channel-minormost stack/relayout ever happens (the multiclass packed
+    composite keeps everything planar until its final interleave,
+    ops/layout.py::multiclass_composite_s2d)."""
+    import jax
+
+    h, w = plane.shape[-2], plane.shape[-1]
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
+    bh = jnp.asarray(_blur_matrix(h, float(sigma), radius))
+    bw = jnp.asarray(_blur_matrix(w, float(sigma), radius))
+    dt = (
+        plane.dtype
+        if jnp.issubdtype(plane.dtype, jnp.floating)
+        else jnp.float32
+    )
+    x = jnp.einsum("oh,...hw->...ow", bh.astype(dt), plane.astype(dt), precision=prec)
+    return jnp.einsum("pw,...hw->...hp", bw.astype(dt), x, precision=prec)
+
+
 def gaussian_blur_auto(
     img: jnp.ndarray, sigma: float, radius: int | None = None
 ) -> jnp.ndarray:

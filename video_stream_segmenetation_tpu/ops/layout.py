@@ -64,6 +64,7 @@ def guide_from_s2d(
     block: int,
     channels: int = 3,
     method: Method = "half_pixel",
+    planar: bool = False,
 ) -> jnp.ndarray:
     """Nearest-neighbor resize of an s2d-packed frame, by lane selection.
 
@@ -73,6 +74,10 @@ def guide_from_s2d(
     nearest taps land on a per-patch-periodic offset pattern: the resize
     becomes a static gather of ``f*f*C`` of the ``block*block*C`` patch
     lanes (f = out/ patches per axis), with no full-res reconstruction.
+
+    ``planar=True`` returns ``[..., C, oh, ow]`` (channel-leading): the
+    lane axis stays wide for downstream planar math (no channel-minormost
+    relayout; see multiclass_composite_s2d).
     """
     fh, fw = frame_hw
     oh, ow = out_hw
@@ -92,7 +97,25 @@ def guide_from_s2d(
     per_x = np.array_equal(offs_x, np.tile(offs_x[:fx], wp))
     if not (ok_y and ok_x and per_y and per_x):
         # fall back to the generic path for odd geometries
-        return _fallback_guide(xp, block, out_hw, method)
+        g = _fallback_guide(xp, block, out_hw, method)
+        if planar:
+            g = jnp.moveaxis(g, -1, -3)
+        return g
+
+    if planar:
+        # c-major lane order so the post-gather permute never touches
+        # a minormost channel axis
+        sel = (
+            np.arange(channels)[:, None, None]
+            + (offs_y[None, :fy, None] * block + offs_x[None, None, :fx])
+            * channels
+        ).reshape(-1)
+        g = jnp.take(xp, jnp.asarray(sel), axis=-1)  # [..., hp, wp, C*fy*fx]
+        *lead, _, _, _ = g.shape
+        nd = len(lead)
+        g = g.reshape(*lead, hp, wp, channels, fy, fx)
+        g = g.transpose(*range(nd), nd + 2, nd, nd + 3, nd + 1, nd + 4)
+        return g.reshape(*lead, channels, oh, ow)
 
     sel = (
         (offs_y[:fy, None, None] * block + offs_x[None, :fx, None]) * channels
@@ -180,6 +203,8 @@ def alpha_composite_s2d(
     return jnp.concatenate(out_slices, axis=-1)
 
 
+
+
 def multiclass_composite_s2d(
     frame_p: jnp.ndarray,
     class_alpha: jnp.ndarray,
@@ -189,24 +214,42 @@ def multiclass_composite_s2d(
     method: Method = "half_pixel",
     precision=None,
     blur_sigma_frame: float | None = None,
+    assume_simplex: bool = False,
 ) -> jnp.ndarray:
     """Per-class-effect composite entirely in the packed layout.
 
     The multiclass generalization of :func:`alpha_composite_s2d` (BASELINE
-    config 5: K class maps, one effect layer per class): K alpha planes are
-    upsampled by the same interp-matmul scheme (the K axis rides as a
-    batch dim), each class's layer is built lane-sliced, and the blend
-    accumulates per packed row-parity slice -- the natural uint8 layout is
-    never reconstructed on device.
+    config 5: K class maps, one effect layer per class).  Every effect
+    layer is affine in (frame, blurred-frame, constant):
+
+        layer_k = alpha_k * frame + beta_k * blurred + c_k
+
+    (keep: alpha=1 | tint s: alpha=1-s, c=s*tint | color: c=color |
+    blur: beta=1), so the whole blend collapses to TWO fields:
+
+        out = up(w_f) * frame + up(R)
+        w_f = sum_k alpha_k a_k                    [S, mh, mw]
+        R   = blurred * sum_k beta_k a_k + sum_k c_k a_k   [S, mh, mw, 3]
+
+    with a_k the (re-normalized) class simplex at class-map resolution and
+    ``up`` the separable interp-matmul upsample.  **Semantics**: all
+    non-frame contributions (blurred background, tints, colors) are
+    composited at class-map resolution and upsampled once -- the
+    downscale-blend-upscale serving approximation (they are low-frequency
+    by construction; only the live frame term is blended at full
+    resolution).  Blur uses the nearest-gathered guide
+    (:func:`guide_from_s2d`) with sigma scaled by mh/fh.  Pinned by the
+    natural-layout oracle in tests/test_multiclass_fast.py.
+
+    TPU layout notes: the packed output wants (dx, c)-interleaved lanes;
+    a post-hoc transpose of an [S, 3, H, W] upsample is a lane relayout
+    that measured ~8 ms at S=64 -- instead R's W-pass uses the
+    channel-interleaved Kronecker matrix A_w (x) I_3 (built in-graph from
+    the small A_w), so every matmul output is already in packed lane
+    order and no transpose ever happens.
 
     effects: list of K dicts -- {"keep"}, {"color": rgb}, {"tint": rgb,
-    "strength": s}, {"blur": sigma}.  **Blur semantics**: computed at the
-    class-map resolution on the nearest-gathered guide
-    (:func:`guide_from_s2d`) with sigma scaled by mh/fh, then bilinearly
-    upsampled -- the standard downscale-blur-upscale serving approximation
-    (a full-res separable blur in packed layout would need cross-lane
-    mixing; the approximation is visually identical for background blur
-    and is pinned by its own oracle in tests/test_s2d.py).
+    "strength": s}, {"blur": sigma}.
 
     frame_p ``[S, H/b, W/b, b*b*3]`` uint8; class_alpha ``[S, mh, mw, K]``.
     Returns the packed uint8 composite.
@@ -224,65 +267,106 @@ def multiclass_composite_s2d(
     dt = jnp.bfloat16 if prec == jax.lax.Precision.DEFAULT else jnp.float32
     s = frame_p.shape[0]
 
-    a_h = _interp_matrix(fh, mh, method)                      # [fh, mh]
-    a_w = jnp.asarray(_interp_matrix(fw, mw, method), dt)     # [fw, mw]
-    # K planes through one einsum: k rides as a batch axis
-    bmat = jnp.einsum(
-        "xw,smwk->skmx", a_w, class_alpha.astype(dt), precision=prec
-    )  # [S, K, mh, fw]
+    # effect algebra: layer_k = alpha_w[k]*frame + beta_w[k]*blurred + cmat[k]
+    alpha_w = np.zeros((k,), np.float32)
+    beta_w = np.zeros((k,), np.float32)
+    cmat = np.zeros((k, 3), np.float32)
+    need_blur = False
+    for ci, eff in enumerate(effects):
+        if eff.get("keep"):
+            alpha_w[ci] = 1.0
+        elif "color" in eff:
+            cmat[ci] = np.asarray(eff["color"], np.float32) * 255.0
+        elif "blur" in eff:
+            beta_w[ci] = 1.0
+            need_blur = True
+        elif "tint" in eff:
+            st = float(eff.get("strength", 0.5))
+            alpha_w[ci] = 1.0 - st
+            cmat[ci] = np.asarray(eff["tint"], np.float32) * 255.0 * st
+        else:
+            raise ValueError(f"unknown effect: {eff}")
 
-    # blurred-guide RGB (only if some class wants blur)
-    blur_bmat = None
-    if any("blur" in e for e in effects):
-        from video_stream_segmenetation_tpu.ops.blur import gaussian_blur_mxu
+    # re-normalize the simplex at class-map resolution (cheap); the
+    # upsample preserves it exactly (bilinear rows are convex), so no
+    # full-resolution division is ever needed.  assume_simplex=True skips
+    # even that (the pipeline renormalizes after the temporal EMA,
+    # runtime/pipeline.py::make_multiclass_step).
+    ca = class_alpha.astype(jnp.float32)
+    if not assume_simplex:
+        ca = ca / jnp.maximum(ca.sum(-1, keepdims=True), 1e-6)
+
+    # planar K-contractions: one pass over ca, channel-LEADING outputs
+    # (the lane axis stays mw-wide; a channel-minormost [.., mh, mw, 3]
+    # intermediate would tile 3 lanes of 128 on TPU)
+    coef = np.concatenate(
+        [alpha_w[:, None], beta_w[:, None], cmat], axis=1
+    )  # [K, 5] -> (w_f, w_b, c_r, c_g, c_b)
+    planes = jnp.einsum(
+        "smwk,kp->spmw", ca, jnp.asarray(coef),
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                         # [S, 5, mh, mw]
+    w_f = planes[:, 0]
+    rgb = planes[:, 2:5]                                      # [S, 3, mh, mw]
+    if need_blur:
+        from video_stream_segmenetation_tpu.ops.blur import (
+            gaussian_blur_planar_mxu,
+        )
 
         guide = guide_from_s2d(
-            frame_p, frame_hw, (mh, mw), b, method=method
-        ).astype(jnp.float32) / 255.0
+            frame_p, frame_hw, (mh, mw), b, method=method, planar=True
+        ).astype(jnp.float32) / 255.0                         # [S, 3, mh, mw]
         sigma = float(next(e["blur"] for e in effects if "blur" in e))
         if blur_sigma_frame is not None:
             sigma = float(blur_sigma_frame)
         sigma_small = max(sigma * mh / fh, 0.5)
-        blurred = gaussian_blur_mxu(guide, sigma_small)       # [S, mh, mw, 3]
-        blur_bmat = jnp.einsum(
-            "xw,smwc->scmx", a_w, blurred.astype(dt), precision=prec
-        )  # [S, 3, mh, fw]
+        blurred = jnp.clip(
+            gaussian_blur_planar_mxu(guide, sigma_small, precision=prec),
+            0.0, 1.0,
+        )                                                     # [S, 3, mh, mw]
+        rgb = rgb + blurred * 255.0 * planes[:, 1:2]
+
+    a_h = _interp_matrix(fh, mh, method)                      # [fh, mh]
+    a_w_m = jnp.asarray(_interp_matrix(fw, mw, method), dt)   # [fw, mw]
+
+    # scalar w_f plane: plain separable upsample (W then per-slice H)
+    bmat_f = jnp.einsum("xw,smw->smx", a_w_m, w_f.astype(dt), precision=prec)
+
+    # RGB field, H-pass FIRST with the channels concatenated on the lane
+    # axis c-major ([S, mh, 3*mw] -- a cheap planar concat, never a
+    # channel-minormost interleave): the per-slice re-reads then hit
+    # disjoint row blocks of one [S, fh, 3*mw] intermediate.  The W-pass
+    # per slice uses the c-major Kronecker matrix (I_3 (x) A_w rows,
+    # built in-graph from a_w_m) whose OUTPUT lane axis is already
+    # X = (wp*b + dx)*3 + c -- packed order, no transpose ever happens.
+    rgb_cat = jnp.concatenate(
+        [rgb[:, c].astype(dt) for c in range(3)], axis=-1
+    )                                                         # [S, mh, 3*mw]
+    a_h_dt = jnp.asarray(a_h, dt)                             # [fh, mh]
+    hmat_r = jnp.einsum(
+        "rm,smq->srq", a_h_dt, rgb_cat, precision=prec
+    )                                                         # [S, fh, 3*mw]
+    # kron[X=(x, cx), q=(cq, w)] = a_w[x, w] * delta(cx, cq)
+    kron = (
+        a_w_m[:, None, None, :] * jnp.eye(3, dtype=dt)[None, :, :, None]
+    ).reshape(fw * 3, 3 * mw)
 
     out_slices = []
     for dy in range(b):
         v = jnp.asarray(a_h[dy::b], dt)                       # [hp, mh]
-        a_dy = jnp.einsum("im,skmx->skix", v, bmat, precision=prec)
-        a_dy = jnp.clip(a_dy.astype(jnp.float32), 0.0, 1.0)   # [S, K, hp, fw]
-        # renormalize the upsampled simplex (per-class interp can break it)
-        a_dy = a_dy / jnp.maximum(a_dy.sum(axis=1, keepdims=True), 1e-6)
-
+        wf_sl = jnp.einsum(
+            "im,smx->six", v, bmat_f, precision=prec
+        ).astype(jnp.float32)                                 # [S, hp, fw]
+        r_sl = jnp.einsum(
+            "Xq,siq->siX", kron, hmat_r[:, dy::b], precision=prec
+        ).astype(jnp.float32)                                 # [S, hp, fw*3]
+        wf3 = jnp.broadcast_to(
+            wf_sl.reshape(s, hp, wp, b, 1), (s, hp, wp, b, 3)
+        ).reshape(s, hp, wp, 3 * b)
         f_sl = frame_p[..., 3 * b * dy : 3 * b * (dy + 1)].astype(jnp.float32)
-        if blur_bmat is not None:
-            bl = jnp.einsum("im,scmx->scix", v, blur_bmat, precision=prec)
-            bl = jnp.clip(bl.astype(jnp.float32), 0.0, 1.0) * 255.0
-            # [S, 3, hp, fw] -> packed slice [S, hp, wp, 3b] (c minormost)
-            bl_sl = bl.transpose(0, 2, 3, 1).reshape(s, hp, wp, 3 * b)
-
-        acc = jnp.zeros_like(f_sl)
-        for ci, eff in enumerate(effects):
-            ak = a_dy[:, ci]                                   # [S, hp, fw]
-            ak3 = jnp.broadcast_to(
-                ak.reshape(s, hp, wp, b, 1), (s, hp, wp, b, 3)
-            ).reshape(s, hp, wp, 3 * b)
-            if eff.get("keep"):
-                layer = f_sl
-            elif "color" in eff:
-                col = jnp.asarray(eff["color"], jnp.float32) * 255.0
-                layer = jnp.broadcast_to(jnp.tile(col, b), f_sl.shape)
-            elif "blur" in eff:
-                layer = bl_sl
-            elif "tint" in eff:
-                st = float(eff.get("strength", 0.5))
-                tint = jnp.tile(jnp.asarray(eff["tint"], jnp.float32) * 255.0, b)
-                layer = f_sl * (1.0 - st) + tint * st
-            else:
-                raise ValueError(f"unknown effect: {eff}")
-            acc = acc + layer * ak3
+        # fw*3 index = (wp_idx*b + dx)*3 + c -> reshape splits straight
+        # into the packed (dx, c) lane order; no transpose
+        acc = f_sl * wf3 + r_sl.reshape(s, hp, wp, 3 * b)
         out_slices.append(
             jnp.clip(jnp.floor(acc + 0.5), 0, 255).astype(jnp.uint8)
         )

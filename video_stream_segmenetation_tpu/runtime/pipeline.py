@@ -305,6 +305,8 @@ def make_multiclass_step(bundle: ModelBundle, statics: PipelineStatics):
             out_u8 = ops.multiclass_composite_s2d(
                 frames_u8, blended, effects, (fh, fw), statics.s2d_block,
                 method=statics.upsample_method,
+                # the EMA renorm above guarantees the simplex
+                assume_simplex=True,
             )
         else:
             out_u8 = ops.multiclass_composite(
