@@ -42,10 +42,13 @@ def main() -> None:
 
     S = TARGET_STREAMS
     # the TPU-first fast serving configuration (single source of truth:
-    # runtime/presets.py "fast_int8"; see ARCHITECTURE.md)
+    # runtime/presets.py "fast_int8_lite"; see ARCHITECTURE.md).  The
+    # plan-C lite trunk both benches faster AND evals better than the
+    # plan-B fast_int8 stack (held-out IoU 0.966 vs 0.951,
+    # benchmarks/RESULTS.json "variants"), so it is the headline preset.
     from video_stream_segmenetation_tpu.runtime.presets import preset
 
-    statics = preset("fast_int8")
+    statics = preset("fast_int8_lite")
     engine = Engine(num_streams=S, statics=statics, donate_state=False)
     for _ in range(S):
         engine.admit()
