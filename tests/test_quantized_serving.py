@@ -113,3 +113,87 @@ def test_plan_c_engine_preset(rng):
     out = eng.process(frames)
     assert out["frame"].shape == (2, *FRAME_HW, 3)
     assert out["metrics"]["health"]["state"] == "ok"
+
+
+def test_pallas_conv_impl_matches_xla(hd_b, rng):
+    """conv_impl='pallas' (kernels/conv_int8.py, interpret mode on CPU)
+    must be numerically identical to the XLA int8 graph -- same lattice,
+    same rounding -- for both decoder plans and the dilated ctx convs."""
+    model, params = hd_b
+    u8 = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    packed = ops.space_to_depth(u8, BLK)
+    q = quantize_mattenet_hd(model, params)
+    a_xla = np.asarray(
+        jax.jit(QuantizedMatteNetHD(stem_stride=BLK, head_upsample=4).apply)(
+            q, packed
+        )["alpha"]
+    )
+    a_pl = np.asarray(
+        jax.jit(
+            QuantizedMatteNetHD(
+                stem_stride=BLK, head_upsample=4, conv_impl="pallas"
+            ).apply
+        )(q, packed)["alpha"]
+    )
+    np.testing.assert_allclose(a_pl, a_xla, atol=1e-6)
+
+
+def test_pallas_conv_impl_plan_c(rng):
+    model = models.MatteNetHD(
+        width=0.5, stem_stride=BLK, head_upsample=4, decoder="light"
+    )
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, *FRAME_HW, 3)))
+    u8 = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    packed = ops.space_to_depth(u8, BLK)
+    q = quantize_mattenet_hd(model, params)
+    kw = dict(stem_stride=BLK, head_upsample=4, decoder="light")
+    a_xla = np.asarray(
+        jax.jit(QuantizedMatteNetHD(**kw).apply)(q, packed)["alpha"]
+    )
+    a_pl = np.asarray(
+        jax.jit(QuantizedMatteNetHD(conv_impl="pallas", **kw).apply)(
+            q, packed
+        )["alpha"]
+    )
+    np.testing.assert_allclose(a_pl, a_xla, atol=1e-6)
+
+
+def test_plan_d_int8_matches_bf16(rng):
+    """Plan-D (decoder='micro') int8 graph tracks its bf16 forward and
+    the Pallas conv routing is exact."""
+    model = models.MatteNetHD(
+        width=0.5, stem_stride=BLK, head_upsample=4, decoder="micro"
+    )
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, *FRAME_HW, 3)))
+    u8 = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    packed = ops.space_to_depth(u8, BLK)
+    ref = np.asarray(jax.jit(model.apply)(params, packed)["alpha"])
+    q = quantize_mattenet_hd(model, params)
+    kw = dict(stem_stride=BLK, head_upsample=4, decoder="micro")
+    got = np.asarray(jax.jit(QuantizedMatteNetHD(**kw).apply)(q, packed)["alpha"])
+    assert got.shape == ref.shape
+    assert np.mean(np.abs(got - ref)) < 0.02
+    assert np.max(np.abs(got - ref)) < 0.25
+    gp = np.asarray(
+        jax.jit(QuantizedMatteNetHD(conv_impl="pallas", **kw).apply)(
+            q, packed
+        )["alpha"]
+    )
+    np.testing.assert_allclose(gp, got, atol=1e-6)
+
+
+def test_plan_d_engine_preset(rng):
+    """fast_int8_micro preset builds and steps (small geometry)."""
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+    from video_stream_segmenetation_tpu.service import Engine
+
+    statics = preset(
+        "fast_int8_micro", frame_hw=FRAME_HW, mask_hw=MASK_HW,
+        fd_size=64, lmk_size=48, face_path=False, background="color",
+        use_fused_refine=False,
+    )
+    eng = Engine(num_streams=2, statics=statics, donate_state=False)
+    frames = (rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8)
+    out = eng.process(frames)
+    assert out["frame"].shape == (2, *FRAME_HW, 3)
+    assert out["metrics"]["health"]["state"] == "ok"

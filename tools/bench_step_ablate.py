@@ -11,7 +11,8 @@ tunnel compile has degraded dispatch (~100x) for the rest of its life
 (ARCHITECTURE.md perf notes), so sharing one process across variants
 poisons every measurement after the first cold compile.
 
-Run: JAX_PLATFORMS= python tools/bench_step_ablate.py
+Run: JAX_PLATFORMS= python tools/bench_step_ablate.py [preset]
+(default preset: fast_int8_lite)
 """
 
 from __future__ import annotations
@@ -23,9 +24,12 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+BASE = sys.argv[1] if len(sys.argv) > 1 else "fast_int8_lite"
+
 VARIANTS = {
-    "full (fast_int8 preset)": {},
+    "full": {},
     "matting bf16": {"matting_precision": "bf16"},
+    "pallas int8 convs": {"int8_conv_impl": "pallas"},
     "no face": {"face_path": False},
     "face from frames": {"face_input": "frames"},
     "XLA refine chain": {"use_fused_refine": False},
@@ -45,7 +49,7 @@ from video_stream_segmenetation_tpu.service.engine import Engine
 
 S, N = 64, 20
 overrides = json.loads(%(overrides)r)
-statics = dataclasses.replace(preset("fast_int8"), **overrides)
+statics = dataclasses.replace(preset(%(base)r), **overrides)
 key = jax.random.PRNGKey(0)
 fp = jax.jit(
     lambda k: ops.space_to_depth(
@@ -83,7 +87,7 @@ print("RESULT", json.dumps({"ms": best}))
 def main():
     results = {}
     for name, overrides in VARIANTS.items():
-        code = _CHILD % {"root": ROOT, "overrides": json.dumps(overrides)}
+        code = _CHILD % {"root": ROOT, "base": BASE, "overrides": json.dumps(overrides)}
         r = subprocess.run(
             [sys.executable, "-u", "-c", code], capture_output=True, text=True,
             timeout=3000, env=dict(os.environ, JAX_PLATFORMS=""),
@@ -97,9 +101,9 @@ def main():
             continue
         results[name] = ms
         print(f"{name:34s} {ms:7.2f} ms", flush=True)
-    if "full (fast_int8 preset)" in results:
-        full = results["full (fast_int8 preset)"]
-        print(f"\nfull step = {full:.2f} ms -> "
+    if "full" in results:
+        full = results["full"]
+        print(f"\n{BASE}: full step = {full:.2f} ms -> "
               f"{64 * min(33.33 / full, 4.0):.1f} sustained 720p30 streams/chip")
 
 

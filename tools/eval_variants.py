@@ -44,6 +44,7 @@ CKPT = os.path.join(ROOT, "checkpoints")
 CASES = [
     ("flagship_fast_int8", "fast_int8", {}, "mattenet_hd10"),
     ("flagship_fast_int8_lite", "fast_int8_lite", {}, "mattenet_hd10_lite"),
+    ("flagship_fast_int8_micro", "fast_int8_micro", {}, "mattenet_hd10_micro"),
     ("active", "active", {}, "mattenet"),
     ("rvm", "rvm", {}, "rvm"),
     ("u2", "u2", {}, "u2net"),

@@ -41,16 +41,19 @@ RELU6_SCALE = 127.0 / 6.0
 
 
 def _kernel(x_ref, w_ref, mult_ref, bias_ref, res_ref, out_ref, *, h, w,
-            cin, cout, with_residual, act):
-    """One stream's fused conv.  x_ref: [H+2, W+2, Cin] int8 (pre-padded);
-    w_ref: [9, Cin, Cout] int8; mult/bias: [1, Cout] f32;
-    res_ref: [H, W, Cout] int8 or None; out_ref: [H, W, Cout] int8."""
+            cin, cout, with_residual, act, dil=1):
+    """One stream's fused conv.  x_ref: [H+2d, W+2d, Cin] int8
+    (pre-padded by the dilation d); w_ref: [9, Cin, Cout] int8;
+    mult/bias: [1, Cout] f32; res_ref: [H, W, Cout] int8 or None;
+    out_ref: [H, W, Cout] int8."""
     acc = jnp.zeros((h * w, cout), jnp.int32)
     for dy in range(3):
         for dx in range(3):
-            # rows [dy, dy+h), cols [dx, dx+w): contiguous slice of the
-            # padded plane; reshape merges (h, w) into the matmul M axis
-            a = x_ref[0, dy:dy + h, dx:dx + w, :].reshape(h * w, cin)
+            # rows [dy*d, dy*d+h), cols [dx*d, dx*d+w): contiguous slice
+            # of the padded plane; reshape merges (h, w) into the matmul
+            # M axis
+            a = x_ref[0, dy * dil:dy * dil + h, dx * dil:dx * dil + w, :]
+            a = a.reshape(h * w, cin)
             wk = w_ref[dy * 3 + dx]
             acc = acc + jax.lax.dot_general(
                 a, wk, (((1,), (0,)), ((), ())),
@@ -72,7 +75,7 @@ def _kernel(x_ref, w_ref, mult_ref, bias_ref, res_ref, out_ref, *, h, w,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("with_residual", "act", "interpret")
+    jax.jit, static_argnames=("with_residual", "act", "dilation", "interpret")
 )
 def conv3x3_i8_fused(
     x_i8: jnp.ndarray,
@@ -82,6 +85,7 @@ def conv3x3_i8_fused(
     residual: jnp.ndarray | None = None,
     with_residual: bool = False,
     act: bool = True,
+    dilation: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused int8 3x3 SAME conv + dequant + [residual] + relu6 + requant.
@@ -91,11 +95,14 @@ def conv3x3_i8_fused(
     channel).  residual: ``[S, H, W, Cout]`` int8 on the same lattice.
     Returns ``[S, H, W, Cout]`` int8 on the 6/127 lattice.
 
-    Numerics == models/quantized.py::_requant(_conv_i8(...) [+ res]).
+    Numerics == models/quantized.py::_requant(_conv_i8(...) [+ res]),
+    including the dilated (rhs_dilation) variants used by the context
+    block (dilation=2/4).
     """
     s, h, w, cin = x_i8.shape
     cout = wq.shape[-1]
-    xp = jnp.pad(x_i8, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    d = int(dilation)
+    xp = jnp.pad(x_i8, ((0, 0), (d, d), (d, d), (0, 0)))
     w9 = wq.reshape(9, cin, cout)
     mult2 = mult.reshape(1, cout).astype(jnp.float32)
     bias2 = bias.reshape(1, cout).astype(jnp.float32)
@@ -103,14 +110,14 @@ def conv3x3_i8_fused(
 
     kern = functools.partial(
         _kernel, h=h, w=w, cin=cin, cout=cout,
-        with_residual=with_residual, act=act,
+        with_residual=with_residual, act=act, dil=d,
     )
     grid = (s,)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h + 2, w + 2, cin), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h + 2 * d, w + 2 * d, cin), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0)),
             pl.BlockSpec((1, cout), lambda i: (0, 0)),
             pl.BlockSpec((1, cout), lambda i: (0, 0)),

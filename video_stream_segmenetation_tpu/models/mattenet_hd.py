@@ -75,7 +75,11 @@ class MatteNetHD(nn.Module):
     # 'light' = plan C: single b1 conv, 1x1-reduce decoder (u2 keeps one
     # 3x3 at /2, u1 is 1x1-only; the guided bilateral refine stage
     # restores edge detail against the full-res guide) -- ~43% fewer
-    # FLOPs, the int8 serving step's round-2 lever (benchmarks/RESULTS.md)
+    # FLOPs, the int8 serving step's round-2 lever (benchmarks/RESULTS.md);
+    # 'micro' = plan D: no full-res-level conv at all (stem feeds the u1
+    # skip directly), single dilation-3 context conv, 1x1-only decoder --
+    # ~37% fewer FLOPs than plan C (8.5 vs 13.4 GFLOP/frame at 720p).
+    # Quality-vs-ms study across plans: benchmarks/RESULTS.md.
     decoder: str = "full"
     dtype: Any = jnp.bfloat16
 
@@ -85,6 +89,8 @@ class MatteNetHD(nn.Module):
             return max(16, int(n * self.width) // 16 * 16)
 
         ss = self.stem_stride
+        if ss >= 8 and self.decoder == "micro":
+            return self._plan_d(x, train, c)
         if ss >= 8 and self.decoder == "light":
             return self._plan_c(x, train, c)
         if ss >= 8:
@@ -160,6 +166,81 @@ class MatteNetHD(nn.Module):
             sem = nn.softmax(sem_logit.astype(jnp.float32), axis=-1)
             det = det_logit.astype(jnp.float32)
 
+        return {"alpha": alpha, "semantic": sem, "detail": det}
+
+    def _plan_d(self, x, train, c):
+        """Micro lane-perfect trunk (decoder='micro'): plan C minus the
+        full-res b1 conv (the stem output feeds the u1 skip directly),
+        one dilation-3 context conv instead of the 2/4 pyramid, and a
+        1x1-only decoder at both levels.  Edge detail rides the guided
+        bilateral refine stage, as established by the plan-C study
+        (lite evals BETTER than plan B; benchmarks/RESULTS.md).  Flax
+        module order (the int8 quantizer keys off it):
+
+          ConvBN_0 stem | ConvBN_1 d2dn | _Block_0 d2b | ConvBN_2 d3dn |
+          _Block_1 d3b | ConvBN_3 ctx | SEBlock_0 ctxse |
+          ConvBN_4 u2red(1x1) | ConvBN_5 u1red(1x1) | Conv_0 sem |
+          Conv_1 det | Conv_2 alpha
+        """
+        ss = self.stem_stride
+        patched = x.shape[-1] == 3 * ss * ss
+        if not patched:
+            if x.dtype == jnp.uint8:
+                x = x.astype(self.dtype) / 255.0
+            else:
+                x = x.astype(self.dtype)
+        x0 = ConvBN(
+            c(128), (ss, ss), strides=(ss, ss), dtype=self.dtype,
+            patch_input=patched,
+        )(x, train)  # 72x128
+        d2 = ConvBN(c(192), strides=(2, 2), dtype=self.dtype)(x0, train)  # 36x64
+        d2 = _Block(c(192), use_se=True, dtype=self.dtype)(d2, train)
+        d3 = ConvBN(c(256), strides=(2, 2), dtype=self.dtype)(d2, train)  # 18x32
+        d3 = _Block(c(256), use_se=True, dtype=self.dtype)(d3, train)
+
+        ctx = ConvBN(c(256), dilation=(3, 3), act=False, dtype=self.dtype)(
+            d3, train
+        )
+        ctx = SEBlock(dtype=self.dtype)(nn.relu6(ctx + d3))
+
+        u2 = nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
+        u2 = ConvBN(c(192), (1, 1), dtype=self.dtype)(
+            jnp.concatenate([u2, d2], axis=-1), train
+        )
+        u1 = nearest_x2(u2)[..., : x0.shape[-3], : x0.shape[-2], :]
+        u1 = ConvBN(c(128), (1, 1), dtype=self.dtype)(
+            jnp.concatenate([u1, x0], axis=-1), train
+        )
+
+        sem_logit = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(ctx)
+        det_logit = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(u1)
+        alpha_logit = nn.Conv(
+            self.num_classes, (3, 3), padding="SAME", dtype=self.dtype
+        )(u1)
+        from video_stream_segmenetation_tpu.ops.resize import resize_bilinear_mxu
+
+        uf = self.head_upsample
+        h0, w0 = alpha_logit.shape[-3], alpha_logit.shape[-2]
+        alpha_logit = jnp.stack(
+            [
+                resize_bilinear_mxu(
+                    alpha_logit[..., k].astype(jnp.float32),
+                    (uf * h0, uf * w0),
+                    method="half_pixel",
+                    channel_last=False,
+                )
+                for k in range(self.num_classes)
+            ],
+            axis=-1,
+        )
+        if self.num_classes == 1:
+            alpha = nn.sigmoid(alpha_logit.astype(jnp.float32))[..., 0]
+            sem = nn.sigmoid(sem_logit.astype(jnp.float32))[..., 0]
+            det = det_logit.astype(jnp.float32)[..., 0]
+        else:
+            alpha = nn.softmax(alpha_logit.astype(jnp.float32), axis=-1)
+            sem = nn.softmax(sem_logit.astype(jnp.float32), axis=-1)
+            det = det_logit.astype(jnp.float32)
         return {"alpha": alpha, "semantic": sem, "detail": det}
 
     def _plan_c(self, x, train, c):

@@ -95,9 +95,29 @@ def _se_f32(x_f32, dense0, dense1):
     return x_f32 * jax.nn.sigmoid(s)
 
 
-def _block(x_i8, lp, stats, pfx):
+def _qconv(x_i8, layer, conv_impl="xla", dilation=1, interpret=None):
+    """int8 3x3/1x1 conv + relu6 requant, routed to XLA or the fused
+    Pallas kernel (kernels/conv_int8.py) per ``conv_impl``.  Only
+    stride-1 3x3 convs are Pallas-eligible; everything else stays XLA."""
+    if conv_impl == "pallas" and layer["wq"].shape[:2] == (3, 3):
+        import jax as _jax
+
+        from video_stream_segmenetation_tpu.kernels.conv_int8 import (
+            conv3x3_i8_fused,
+        )
+
+        if interpret is None:
+            interpret = _jax.default_backend() != "tpu"
+        return conv3x3_i8_fused(
+            x_i8, layer["wq"], layer["mult"], layer["bias"],
+            dilation=dilation, interpret=interpret,
+        )
+    return _requant(_conv_i8(x_i8, layer, dilation=(dilation, dilation)))
+
+
+def _block(x_i8, lp, stats, pfx, conv_impl="xla"):
     """_Block: ConvBN(act) -> ConvBN(no act) -> [SE] -> +res -> relu6."""
-    h = _requant(_conv_i8(x_i8, lp[pfx + "/ConvBN_0"]))
+    h = _qconv(x_i8, lp[pfx + "/ConvBN_0"], conv_impl)
     y = _conv_i8(h, lp[pfx + "/ConvBN_1"])  # f32, no act
     if pfx + "/SEBlock_0/Dense_0" in lp:
         y = _se_f32(
@@ -142,8 +162,16 @@ def quantize_mattenet_hd(model, params):
     def cb(name, path):
         q[name] = _qconvbn(p, path, st, ACT_SCALE)
 
-    lite = getattr(model, "decoder", "full") == "light"
-    if lite:
+    plan = getattr(model, "decoder", "full")
+    if plan == "micro":
+        # plan D module order (mattenet_hd.py::_plan_d docstring)
+        blocks = (("_Block_0", "d2b"), ("_Block_1", "d3b"))
+        cb("d2dn", ("ConvBN_1",))
+        cb("d3dn", ("ConvBN_2",))
+        cb("ctx", ("ConvBN_3",))
+        cb("u2red", ("ConvBN_4",))
+        cb("u1red", ("ConvBN_5",))
+    elif plan == "light":
         # plan C module order (mattenet_hd.py::_plan_c docstring)
         blocks = (("_Block_0", "d2b"), ("_Block_1", "d3b"))
         cb("b1c", ("ConvBN_1",))
@@ -195,11 +223,16 @@ class QuantizedMatteNetHD:
     upsample, softmax over the class axis."""
 
     def __init__(self, stem_stride: int, head_upsample: int,
-                 num_classes: int = 1, decoder: str = "full"):
+                 num_classes: int = 1, decoder: str = "full",
+                 conv_impl: str = "xla"):
         self.stem_stride = stem_stride
         self.head_upsample = head_upsample
         self.num_classes = num_classes
         self.decoder = decoder
+        # 'xla' | 'pallas': stride-1 3x3 trunk convs through the fused
+        # Pallas int8 kernel (kernels/conv_int8.py) -- int8 in/out, no
+        # materialized f32 epilogue between layers
+        self.conv_impl = conv_impl
 
     def apply(self, q, x, train: bool = False):
         ss = self.stem_stride
@@ -213,18 +246,28 @@ class QuantizedMatteNetHD:
         y = x.astype(jnp.bfloat16) @ q["stem_w"]
         x0 = _requant(y.astype(jnp.float32) + q["stem_b"])
 
-        if self.decoder == "light":
-            b1 = _requant(_conv_i8(x0, q["b1c"]))  # plan C: single conv
+        ci = self.conv_impl
+        if self.decoder == "micro":
+            # plan D: stem feeds d2dn AND the u1 skip directly
+            b1 = x0
+            d2 = _requant(_conv_i8(x0, q["d2dn"], strides=(2, 2)))
         else:
-            b1 = _block(x0, q, None, "b1")
-        d2 = _requant(_conv_i8(b1, q["d2dn"], strides=(2, 2)))
-        d2 = _block(d2, q, None, "d2b")
+            if self.decoder == "light":
+                b1 = _qconv(x0, q["b1c"], ci)  # plan C: single conv
+            else:
+                b1 = _block(x0, q, None, "b1", ci)
+            d2 = _requant(_conv_i8(b1, q["d2dn"], strides=(2, 2)))
+        d2 = _block(d2, q, None, "d2b", ci)
         d3 = _requant(_conv_i8(d2, q["d3dn"], strides=(2, 2)))
-        d3 = _block(d3, q, None, "d3b")
+        d3 = _block(d3, q, None, "d3b", ci)
 
-        c2 = _requant(_conv_i8(d3, q["ctx2"], dilation=(2, 2)))
-        c4 = _conv_i8(c2, q["ctx4"], dilation=(4, 4))  # no act
-        ctx_f = jax.nn.relu6(c4 + d3.astype(jnp.float32) * ACT_SCALE)
+        if self.decoder == "micro":
+            c3 = _conv_i8(d3, q["ctx"], dilation=(3, 3))  # no act
+            ctx_f = jax.nn.relu6(c3 + d3.astype(jnp.float32) * ACT_SCALE)
+        else:
+            c2 = _qconv(d3, q["ctx2"], ci, dilation=2)
+            c4 = _conv_i8(c2, q["ctx4"], dilation=(4, 4))  # no act
+            ctx_f = jax.nn.relu6(c4 + d3.astype(jnp.float32) * ACT_SCALE)
         ctx_f = _se_f32(ctx_f, q["ctxse/Dense_0"], q["ctxse/Dense_1"])
         ctx = jnp.round(jnp.clip(ctx_f, 0.0, 6.0) * (127.0 / 6.0)).astype(jnp.int8)
 
@@ -242,12 +285,18 @@ class QuantizedMatteNetHD:
                   "bias": jnp.zeros_like(layer["bias"])}
             return _requant(_conv_i8(up, la) + _conv_i8(skip, lb))
 
-        if self.decoder == "light":
+        if self.decoder == "micro":
+            # plan D: 1x1-only decoder; the u1 skip is the stem output
+            up = _nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
+            u2 = split_conv(up, d2, q["u2red"])
+            up = _nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]
+            u1 = split_conv(up, b1, q["u1red"])
+        elif self.decoder == "light":
             # plan C: 1x1-reduce decoders (split-conv trick works for 1x1
             # too), one 3x3 at the /2 level only
             up = _nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
             u2 = split_conv(up, d2, q["u2red"])
-            u2 = _requant(_conv_i8(u2, q["u2"]))
+            u2 = _qconv(u2, q["u2"], ci)
             up = _nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]
             u1 = split_conv(up, b1, q["u1red"])
         else:

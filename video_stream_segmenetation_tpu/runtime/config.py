@@ -174,6 +174,10 @@ class PipelineStatics:
     # matting_input='native' with the plan-B stem, s2d_block >= 8).
     # The reference's own flagship ships quantized (model_q4f16.onnx).
     matting_precision: str = "bf16"
+    # int8 trunk conv lowering: 'xla' (lax.conv s8 path) or 'pallas'
+    # (kernels/conv_int8.py fused conv+dequant+relu6+requant -- int8
+    # in/out, no f32 epilogue materialized between layers)
+    int8_conv_impl: str = "xla"
     # MatteNetHD decoder plan ('full' = plan B; 'light' = plan C lite
     # trunk, ~43% fewer FLOPs with edge detail delegated to the guided
     # refine stage -- see models/mattenet_hd.py)

@@ -56,6 +56,23 @@ _PRESETS = {
         crop_impl="mxu",
         resize_impl="mxu",
     ),
+    # fast_int8 with the plan-D micro trunk (matting_decoder='micro'):
+    # ~37% fewer model FLOPs than plan C -- no full-res-level conv,
+    # single dilation-3 context conv, 1x1-only decoder; edge detail
+    # rides the guided refine stage (quality study: benchmarks/RESULTS.md)
+    "fast_int8_micro": dict(
+        matting_input="native",
+        guide_impl="nearest_u8",
+        warp_impl="separable",
+        face_compact=True,
+        frame_layout="s2d",
+        s2d_block=10,
+        face_input="guide",
+        matting_precision="int8",
+        matting_decoder="micro",
+        crop_impl="mxu",
+        resize_impl="mxu",
+    ),
     # frameProcessor.ts: BlazeFace center tracking, translation warp
     # (gain 0.9, 50/50 blend), EMA 0.75, gamma 0.8, no morphology/prior;
     # detector on a plain 128 resize every frame

@@ -184,6 +184,7 @@ class Engine:
             head_upsample=model.head_upsample,
             num_classes=model.num_classes,
             decoder=getattr(model, "decoder", "full"),
+            conv_impl=self.statics.int8_conv_impl,
         )
 
     def load_face_params(self, face_path: str, lmk_path: str | None = None) -> None:
