@@ -11,8 +11,10 @@ tunnel compile has degraded dispatch (~100x) for the rest of its life
 (ARCHITECTURE.md perf notes), so sharing one process across variants
 poisons every measurement after the first cold compile.
 
-Run: JAX_PLATFORMS= python tools/bench_step_ablate.py [preset]
-(default preset: fast_int8_lite)
+Run: JAX_PLATFORMS= python tools/bench_step_ablate.py [preset] [variants-json]
+(default preset: fast_int8_lite; variants-json = {"name": {override: v}}
+replaces the built-in variant table, e.g.
+  '{"full": {}, "K=1": {"face_batch": 1}}')
 """
 
 from __future__ import annotations
@@ -34,6 +36,8 @@ VARIANTS = {
     "face from frames": {"face_input": "frames"},
     "XLA refine chain": {"use_fused_refine": False},
 }
+if len(sys.argv) > 2:
+    VARIANTS = json.loads(sys.argv[2])
 
 _CHILD = r"""
 import dataclasses, json, time, sys
