@@ -90,3 +90,56 @@ def test_fused_temporal_refine_out_of_range_zero_fill(data):
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got_prev), np.asarray(want_prev), atol=2e-5)
+
+
+def test_fused_temporal_refine_planar_guide_matches_hwc(data, rng):
+    """guide_planar=True (channel-leading u8 planes) must be bit-identical
+    to the HWC float guide path: u8 values are exact in bf16 either way."""
+    alpha_raw, prev, affine, guide, prior = data
+    knobs = runtime.default_knobs(S)
+    use_warp = jnp.asarray([True, False])
+    init = jnp.asarray([True, True])
+    has_prior = jnp.asarray([True, False])
+    args = (
+        knobs.ema, knobs.noise_cutoff, knobs.high_threshold, knobs.gamma,
+        knobs.use_bilateral, knobs.sigma_spatial, knobs.sigma_range,
+        has_prior,
+    )
+    want_prev, want = fused_temporal_refine(
+        alpha_raw, prev, affine, use_warp, init, 0.3, guide, prior, *args,
+        interpret=True,
+    )
+    guide_pl = jnp.moveaxis(guide.astype(jnp.uint8), -1, -3)  # [S,3,H,W]
+    got_prev, got = fused_temporal_refine(
+        alpha_raw, prev, affine, use_warp, init, 0.3, guide_pl, prior, *args,
+        interpret=True, guide_planar=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_prev), np.asarray(want_prev))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_engine_planar_guide_branch(rng):
+    """fast_int8_micro with use_fused_refine=True routes the planar-u8
+    guide end to end (interpret kernel on CPU) and matches the XLA-chain
+    configuration of the same engine."""
+    import dataclasses
+
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+    from video_stream_segmenetation_tpu.service import Engine
+
+    kw = dict(
+        frame_hw=(80, 160), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color",
+    )
+    st_pl = preset("fast_int8_micro", use_fused_refine=True, **kw)
+    st_xla = preset("fast_int8_micro", use_fused_refine=False, **kw)
+    frames = (rng.random((2, 80, 160, 3)) * 255).astype(np.uint8)
+    outs = []
+    for st in (st_pl, st_xla):
+        eng = Engine(num_streams=2, statics=st, rng_seed=0, donate_state=False)
+        eng.admit(); eng.admit()
+        for _ in range(2):
+            out = eng.process(frames)
+        assert out["metrics"]["health"]["state"] == "ok"
+        outs.append(np.asarray(out["alpha"]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=3e-5, atol=3e-5)

@@ -73,9 +73,19 @@ def _interior_mask(h: int, w: int) -> jnp.ndarray:
     return (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
 
 
+def _guide_bf16(g):
+    """Guide plane as bf16 values in 0..255.  Accepts bf16 (pre-converted
+    outside) or u8 (planar fast path: converted HERE so only 1 byte/px
+    crosses HBM; Mosaic has no direct u8->float cast -- hop through i32)."""
+    if g.dtype == jnp.uint8:
+        return g.astype(jnp.int32).astype(jnp.bfloat16)
+    return g
+
+
 def _chain_body(i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
                 has_prior_ref, a, g_r, g_g, g_b, prior):
     """Stages 5/7/8/9 on one [H, W] plane (shared by both kernels)."""
+    g_r, g_g, g_b = _guide_bf16(g_r), _guide_bf16(g_g), _guide_bf16(g_b)
     h, w = a.shape
     has_prior = has_prior_ref[i] > 0
 
@@ -328,7 +338,7 @@ def fused_temporal_refine(
     use_warp: jnp.ndarray,  # [S] bool (has_affine & initialized)
     initialized: jnp.ndarray,  # [S] bool
     warp_blend: float,
-    guide: jnp.ndarray,  # [S, H, W, 3] 0..255
+    guide: jnp.ndarray,  # [S, H, W, 3] 0..255, or [S, 3, H, W] u8 planar
     prior: jnp.ndarray,
     knobs_ema: jnp.ndarray,
     knobs_low: jnp.ndarray,
@@ -339,6 +349,7 @@ def fused_temporal_refine(
     knobs_sr: jnp.ndarray,
     has_prior: jnp.ndarray,
     interpret: bool | None = None,
+    guide_planar: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Stages 3-9 in one kernel.  Returns (new_prev, refined_alpha).
 
@@ -346,11 +357,21 @@ def fused_temporal_refine(
     one-hot selection matmuls inside the kernel; index vectors are
     prepared here exactly as ops.warp_affine_separable (JS Math.round,
     out-of-range -> zero fill via all-zero one-hot rows).
+
+    guide_planar=True takes the guide as channel-leading u8 planes
+    ([S, 3, H, W], guide_from_s2d(planar=True)): 1 byte/px of guide
+    HBM traffic instead of 2, zero channel-minormost u8 relayout, and
+    the u8->bf16 convert happens in VMEM (identical numerics: u8 values
+    are exact in bf16).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     s, h, w = alpha_raw.shape
-    guide = jnp.floor(guide + 0.5).astype(jnp.bfloat16)
+    if guide_planar:
+        g0, g1, g2 = guide[:, 0], guide[:, 1], guide[:, 2]
+    else:
+        guide = jnp.floor(guide + 0.5).astype(jnp.bfloat16)
+        g0, g1, g2 = guide[..., 0], guide[..., 1], guide[..., 2]
 
     from video_stream_segmenetation_tpu.ops.warp import invert_affine
 
@@ -408,9 +429,9 @@ def fused_temporal_refine(
         alpha_raw.astype(jnp.float32),
         prev_alpha.astype(jnp.float32),
         aux,
-        guide[..., 0],
-        guide[..., 1],
-        guide[..., 2],
+        g0,
+        g1,
+        g2,
         prior.astype(jnp.float32),
     )
     return new_prev, refined

@@ -145,7 +145,8 @@ def _face_subpath(bundle, params, frames_f32, fire, statics: PipelineStatics):
 
 
 def _face_subpath_compact(
-    bundle, params, frames, state, statics, face_gate, s2d_block=None
+    bundle, params, frames, state, statics, face_gate, s2d_block=None,
+    src_planar=False,
 ):
     """Cadence-compacted stage 6: gather the <= K streams whose cadence
     fires this step (K = ceil(S / lmk_interval) with staggered admission,
@@ -170,6 +171,10 @@ def _face_subpath_compact(
     def to_f32(x):
         if s2d_block:
             x = ops.depth_to_space(x, s2d_block)
+        if src_planar:
+            # channel-leading [.., 3, h, w] -> HWC; applied post-gather so
+            # only the <= K cadence streams pay the relayout
+            x = jnp.moveaxis(x, -3, -1)
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
         return x
@@ -365,6 +370,33 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
     else:
         _resize_down = lambda f: ops.resize_bilinear(f, (mh, mw), method="asymmetric")
 
+    # fused-kernel routing is pure statics (+ backend), resolved once at
+    # build time.  use_fused_tr = the full stages-3-9 kernel; planar_guide
+    # additionally feeds it channel-leading u8 guide planes (half the
+    # guide HBM traffic, no channel-minormost u8 relayout) -- only when
+    # nothing else in the step needs an HWC/f32 guide view.
+    use_fused = statics.use_fused_refine
+    if use_fused == "auto":
+        use_fused = _jax.default_backend() == "tpu"
+    use_fused = use_fused and statics.morphology
+    use_fused_tr = (
+        use_fused
+        and statics.warp_impl == "separable"
+        and statics.temporal_filter == "ema"
+        and statics.warp_blend_mode == "lerp"
+    )
+    planar_guide = (
+        use_fused_tr
+        and s2d
+        and statics.matting_input == "native"
+        and statics.matting_arch == "feedforward"
+        and statics.guide_impl == "nearest_u8"
+        and (
+            not statics.face_path
+            or (statics.face_compact and statics.face_tracking != "translation")
+        )
+    )
+
     def step(params, state: StreamState, frames_u8, background, knobs: PipelineKnobs, face_gate):
         """frames_u8: [S,H,W,3] natural, or s2d-packed [S,H/b,W/b,b*b*3]
         when statics.frame_layout == 's2d' (ops/layout.py)."""
@@ -391,17 +423,28 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             # IS the resize (see models/mattenet_hd.py)
             alpha_raw = bundle.matte_model.apply(params["matte"], frames_u8)["alpha"]
             if statics.guide_impl == "nearest_u8":
-                if s2d:
+                if s2d and planar_guide:
+                    # channel-leading u8 planes [S,3,mh,mw]: the fused
+                    # kernel converts in VMEM and the face path gathers
+                    # its cadence subset post-hoc -- the full-batch
+                    # HWC/f32 guide views never materialize
+                    guide_pl_u8 = ops.guide_from_s2d(
+                        frames_u8, (fh, fw), (mh, mw), statics.s2d_block,
+                        planar=True,
+                    )
+                    small = None
+                elif s2d:
                     # periodic-tap lane gather straight off the packed
                     # frames -- no natural-layout round trip
                     guide_u8 = ops.guide_from_s2d(
                         frames_u8, (fh, fw), (mh, mw), statics.s2d_block
                     )
+                    small = guide_u8.astype(jnp.float32) / 255.0
                 else:
                     guide_u8 = ops.resize_nearest(
                         frames_u8, (mh, mw), method="half_pixel"
                     )
-                small = guide_u8.astype(jnp.float32) / 255.0
+                    small = guide_u8.astype(jnp.float32) / 255.0
             else:
                 small = _resize_down(frames_f32)
         else:
@@ -414,9 +457,26 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         # face-source selection: full-res frames (reference-exact) or the
         # mask-res guide (face_input='guide': FD/ROI sample `small`,
         # coordinates live in mask space so frame_hw := mask_hw)
+        face_planar = False
         if statics.face_input == "guide":
             fstat = dataclasses.replace(statics, frame_hw=(mh, mw))
-            face_src, face_src_u8, face_blk = small, small, None
+            if planar_guide:
+                # compact path gathers the <= K cadence streams from the
+                # planar u8 guide and relayouts only that tiny subset
+                face_src, face_src_u8, face_blk = None, guide_pl_u8, None
+                face_planar = True
+            elif (
+                statics.matting_arch == "feedforward"
+                and statics.matting_input == "native"
+                and statics.guide_impl == "nearest_u8"
+            ):
+                # gather the cadence subset from the u8 guide (4x less
+                # HBM traffic than the f32 view; with the fused refine
+                # kernel consuming a bf16 guide, the full-batch f32
+                # guide then never materializes at all)
+                face_src, face_src_u8, face_blk = small, guide_u8, None
+            else:
+                face_src, face_src_u8, face_blk = small, small, None
         else:
             fstat = statics
             face_src, face_src_u8 = frames_f32, frames_u8
@@ -440,7 +500,7 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 prior, has_prior, affine_update, has_update, det_score = (
                     _face_subpath_compact(
                         bundle, params, face_src_u8, state, fstat, face_gate,
-                        s2d_block=face_blk,
+                        s2d_block=face_blk, src_planar=face_planar,
                     )
                 )
             else:
@@ -456,24 +516,10 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             det_score = jnp.zeros((s,), jnp.float32)
 
         # canvas-u8-scale RGB guide, quantized to integer pixel values
-        # (the reference guide is u8 canvas data, frameProcessorTest.ts:315-321)
-        guide = jnp.floor(small * 255.0 + 0.5)
-        use_fused = statics.use_fused_refine
-        if use_fused == "auto":
-            import jax as __jax
-
-            use_fused = __jax.default_backend() == "tpu"
-        # the fused kernels bake the morphology stages in; variants that
-        # disable morphology take the XLA chain
-        use_fused = use_fused and statics.morphology
-        # full fusion (stages 3-9: warp + EMA + refinement chain in one
-        # kernel) applies on the default temporal/warp configuration
-        use_fused_tr = (
-            use_fused
-            and statics.warp_impl == "separable"
-            and statics.temporal_filter == "ema"
-            and statics.warp_blend_mode == "lerp"
-        )
+        # (the reference guide is u8 canvas data, frameProcessorTest.ts:315-321);
+        # in planar mode the u8 planes go to the kernel directly
+        guide = None if planar_guide else jnp.floor(small * 255.0 + 0.5)
+        # use_fused / use_fused_tr / planar_guide resolved at build time
 
         if use_fused_tr:
             from video_stream_segmenetation_tpu.kernels.refine_fused import (
@@ -483,10 +529,12 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             new_prev, a = fused_temporal_refine(
                 alpha_raw, state.prev_alpha, state.affine,
                 state.has_affine & state.initialized, state.initialized,
-                statics.warp_blend_weight, guide, prior,
+                statics.warp_blend_weight,
+                guide_pl_u8 if planar_guide else guide, prior,
                 knobs.ema, knobs.noise_cutoff, knobs.high_threshold,
                 knobs.gamma, knobs.use_bilateral, knobs.sigma_spatial,
                 knobs.sigma_range, has_prior,
+                guide_planar=planar_guide,
             )
             base = None  # consumed inside the kernel
         else:
