@@ -42,14 +42,14 @@ def main() -> None:
 
     S = TARGET_STREAMS
     # the TPU-first fast serving configuration (single source of truth:
-    # runtime/presets.py "fast_int8_micro"; see ARCHITECTURE.md).  The
-    # plan-D micro trunk both benches faster AND evals better than the
-    # plan-C lite stack (held-out IoU 0.980 vs 0.966, benchmarks/
-    # RESULTS.json "variants") -- quality lives in the guided refine
-    # stage, not trunk width -- so it is the headline preset.
+    # runtime/presets.py "fast_int8_nano"; see ARCHITECTURE.md).  The
+    # plan-E nano trunk both benches faster AND evals better than the
+    # bigger trunks (held-out IoU 0.985 vs 0.980 micro / 0.966 lite,
+    # benchmarks/RESULTS.json "variants") -- quality lives in the guided
+    # refine stage, not trunk width -- so it is the headline preset.
     from video_stream_segmenetation_tpu.runtime.presets import preset
 
-    statics = preset("fast_int8_micro")
+    statics = preset("fast_int8_nano")
     engine = Engine(num_streams=S, statics=statics, donate_state=False)
     for _ in range(S):
         engine.admit()

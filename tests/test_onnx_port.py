@@ -103,3 +103,95 @@ def test_varint_parser_roundtrip():
     fields = list(onnx_lite._iter_fields(msg))
     assert fields[0] == (1, 0, 300)
     assert fields[1] == (2, 2, b"abc")
+
+
+def _mk_model(nodes, inits, inputs, outputs):
+    g = onnx_lite.Graph(nodes=nodes, initializers=inits, inputs=inputs,
+                        outputs=outputs, name="t")
+    return onnx_lite.Model(g, opset=13)
+
+
+def _attr(**kw):
+    out = {}
+    for k, v in kw.items():
+        a = onnx_lite.Attr(name=k)
+        if isinstance(v, bytes):
+            a.s = v
+        elif isinstance(v, float):
+            a.f = v
+        elif isinstance(v, int):
+            a.i = v
+        elif isinstance(v, (list, tuple)):
+            if all(isinstance(x, int) for x in v):
+                a.ints = list(v)
+            else:
+                a.floats = list(v)
+        out[k] = a
+    return out
+
+
+MATTING_OPS = [
+    # (node, extra initializers) -- each op the MODNet/U2Net/RVM-class
+    # float exports use beyond the face-model op set (SURVEY.md §2.7)
+    ("Sub", {}, "binary"),
+    ("Tanh", {}, {}),
+    ("Sqrt", {}, {}),
+    ("LeakyRelu", _attr(alpha=0.1), {}),
+    ("HardSigmoid", {}, {}),
+    ("HardSwish", {}, {}),
+    ("Softmax", _attr(axis=1), {}),
+    ("GlobalAveragePool", {}, {}),
+    ("BatchNormalization", {}, "bn"),
+    ("AveragePool", _attr(kernel_shape=[3, 3], strides=[2, 2],
+                          pads=[1, 1, 1, 1]), {}),
+    ("ReduceMean", _attr(axes=[2, 3], keepdims=1), {}),
+    ("Resize", _attr(mode=b"linear",
+                     coordinate_transformation_mode=b"half_pixel"), "resize"),
+    ("Resize", _attr(mode=b"nearest",
+                     coordinate_transformation_mode=b"asymmetric",
+                     nearest_mode=b"floor"), "resize"),
+    ("Resize", _attr(mode=b"linear",
+                     coordinate_transformation_mode=b"align_corners"),
+     "resize"),
+    ("Split", _attr(axis=1, split=[2, 3]), {}),
+]
+
+
+@pytest.mark.parametrize("op,attrs,extra", MATTING_OPS)
+def test_matting_op_jax_matches_numpy(op, attrs, extra, rng):
+    x = rng.random((2, 5, 8, 10)).astype(np.float32) * 2 - 1
+    inputs = ["x"]
+    inits = {}
+    if extra == "binary":
+        inits = {"y2nd": rng.random((2, 5, 8, 10)).astype(np.float32)}
+        inputs = ["x", "y2nd"]
+    elif extra == "bn":
+        inits = {
+            "sc": rng.random(5).astype(np.float32) + 0.5,
+            "b": rng.random(5).astype(np.float32),
+            "mu": rng.random(5).astype(np.float32),
+            "va": rng.random(5).astype(np.float32) + 0.1,
+        }
+        inputs = ["x", "sc", "b", "mu", "va"]
+    elif extra == "resize":
+        inits = {
+            "roi": np.zeros(0, np.float32),
+            "scales": np.zeros(0, np.float32),
+            "sizes": np.asarray([2, 5, 13, 7], np.int64),
+        }
+        inputs = ["x", "roi", "scales", "sizes"]
+    n_out = 2 if op == "Split" else 1
+    outs = [f"y{k}" for k in range(n_out)]
+    node = onnx_lite.Node(op_type=op, inputs=inputs, outputs=outs,
+                          attrs=attrs, name=op)
+    model = _mk_model([node], inits, [("x", x.shape)], outs)
+
+    want = onnx_exec.run(model, {"x": x})
+    fn, params = onnx_exec.build_jax_fn(model)
+    got = jax.jit(lambda p, x: fn(p, x=x))(
+        {k: jnp.asarray(v) for k, v in params.items()}, jnp.asarray(x)
+    )
+    for o in outs:
+        np.testing.assert_allclose(
+            np.asarray(got[o]), want[o], rtol=2e-5, atol=2e-5
+        )

@@ -197,3 +197,33 @@ def test_plan_d_engine_preset(rng):
     out = eng.process(frames)
     assert out["frame"].shape == (2, *FRAME_HW, 3)
     assert out["metrics"]["health"]["state"] == "ok"
+
+
+def test_plan_e_int8_matches_bf16(rng):
+    """Plan-E (decoder='nano') int8 graph tracks its bf16 forward; engine
+    preset builds and steps."""
+    model = models.MatteNetHD(
+        width=0.5, stem_stride=BLK, head_upsample=4, decoder="nano"
+    )
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, *FRAME_HW, 3)))
+    u8 = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    packed = ops.space_to_depth(u8, BLK)
+    ref = np.asarray(jax.jit(model.apply)(params, packed)["alpha"])
+    q = quantize_mattenet_hd(model, params)
+    kw = dict(stem_stride=BLK, head_upsample=4, decoder="nano")
+    got = np.asarray(jax.jit(QuantizedMatteNetHD(**kw).apply)(q, packed)["alpha"])
+    assert got.shape == ref.shape
+    assert np.mean(np.abs(got - ref)) < 0.02
+
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+    from video_stream_segmenetation_tpu.service import Engine
+
+    statics = preset(
+        "fast_int8_nano", frame_hw=FRAME_HW, mask_hw=MASK_HW,
+        fd_size=64, lmk_size=48, face_path=False, background="color",
+        use_fused_refine=False,
+    )
+    eng = Engine(num_streams=2, statics=statics, donate_state=False)
+    frames = (rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8)
+    out = eng.process(frames)
+    assert out["metrics"]["health"]["state"] == "ok"

@@ -78,7 +78,9 @@ class MatteNetHD(nn.Module):
     # FLOPs, the int8 serving step's round-2 lever (benchmarks/RESULTS.md);
     # 'micro' = plan D: no full-res-level conv at all (stem feeds the u1
     # skip directly), single dilation-3 context conv, 1x1-only decoder --
-    # ~37% fewer FLOPs than plan C (8.5 vs 13.4 GFLOP/frame at 720p).
+    # ~37% fewer FLOPs than plan C (8.5 vs 13.4 GFLOP/frame at 720p);
+    # 'nano' = plan E: plan D with the residual _Blocks at /2 and /4
+    # replaced by single 3x3 convs (6.3 GFLOP/frame).
     # Quality-vs-ms study across plans: benchmarks/RESULTS.md.
     decoder: str = "full"
     dtype: Any = jnp.bfloat16
@@ -89,7 +91,7 @@ class MatteNetHD(nn.Module):
             return max(16, int(n * self.width) // 16 * 16)
 
         ss = self.stem_stride
-        if ss >= 8 and self.decoder == "micro":
+        if ss >= 8 and self.decoder in ("micro", "nano"):
             return self._plan_d(x, train, c)
         if ss >= 8 and self.decoder == "light":
             return self._plan_c(x, train, c)
@@ -181,8 +183,14 @@ class MatteNetHD(nn.Module):
           _Block_1 d3b | ConvBN_3 ctx | SEBlock_0 ctxse |
           ConvBN_4 u2red(1x1) | ConvBN_5 u1red(1x1) | Conv_0 sem |
           Conv_1 det | Conv_2 alpha
+
+        Plan E ('nano') replaces the two residual _Blocks with single 3x3
+        ConvBNs (module order: ConvBN_0 stem | ConvBN_1 d2dn | ConvBN_2
+        d2b | ConvBN_3 d3dn | ConvBN_4 d3b | ConvBN_5 ctx | SEBlock_0 |
+        ConvBN_6 u2red | ConvBN_7 u1red | Conv_0..2 heads).
         """
         ss = self.stem_stride
+        nano = self.decoder == "nano"
         patched = x.shape[-1] == 3 * ss * ss
         if not patched:
             if x.dtype == jnp.uint8:
@@ -194,9 +202,15 @@ class MatteNetHD(nn.Module):
             patch_input=patched,
         )(x, train)  # 72x128
         d2 = ConvBN(c(192), strides=(2, 2), dtype=self.dtype)(x0, train)  # 36x64
-        d2 = _Block(c(192), use_se=True, dtype=self.dtype)(d2, train)
+        if nano:
+            d2 = ConvBN(c(192), dtype=self.dtype)(d2, train)
+        else:
+            d2 = _Block(c(192), use_se=True, dtype=self.dtype)(d2, train)
         d3 = ConvBN(c(256), strides=(2, 2), dtype=self.dtype)(d2, train)  # 18x32
-        d3 = _Block(c(256), use_se=True, dtype=self.dtype)(d3, train)
+        if nano:
+            d3 = ConvBN(c(256), dtype=self.dtype)(d3, train)
+        else:
+            d3 = _Block(c(256), use_se=True, dtype=self.dtype)(d3, train)
 
         ctx = ConvBN(c(256), dilation=(3, 3), act=False, dtype=self.dtype)(
             d3, train

@@ -163,7 +163,17 @@ def quantize_mattenet_hd(model, params):
         q[name] = _qconvbn(p, path, st, ACT_SCALE)
 
     plan = getattr(model, "decoder", "full")
-    if plan == "micro":
+    if plan == "nano":
+        # plan E module order (mattenet_hd.py::_plan_d docstring)
+        blocks = ()
+        cb("d2dn", ("ConvBN_1",))
+        cb("d2b", ("ConvBN_2",))
+        cb("d3dn", ("ConvBN_3",))
+        cb("d3b", ("ConvBN_4",))
+        cb("ctx", ("ConvBN_5",))
+        cb("u2red", ("ConvBN_6",))
+        cb("u1red", ("ConvBN_7",))
+    elif plan == "micro":
         # plan D module order (mattenet_hd.py::_plan_d docstring)
         blocks = (("_Block_0", "d2b"), ("_Block_1", "d3b"))
         cb("d2dn", ("ConvBN_1",))
@@ -247,8 +257,8 @@ class QuantizedMatteNetHD:
         x0 = _requant(y.astype(jnp.float32) + q["stem_b"])
 
         ci = self.conv_impl
-        if self.decoder == "micro":
-            # plan D: stem feeds d2dn AND the u1 skip directly
+        if self.decoder in ("micro", "nano"):
+            # plans D/E: stem feeds d2dn AND the u1 skip directly
             b1 = x0
             d2 = _requant(_conv_i8(x0, q["d2dn"], strides=(2, 2)))
         else:
@@ -257,11 +267,17 @@ class QuantizedMatteNetHD:
             else:
                 b1 = _block(x0, q, None, "b1", ci)
             d2 = _requant(_conv_i8(b1, q["d2dn"], strides=(2, 2)))
-        d2 = _block(d2, q, None, "d2b", ci)
-        d3 = _requant(_conv_i8(d2, q["d3dn"], strides=(2, 2)))
-        d3 = _block(d3, q, None, "d3b", ci)
+        if self.decoder == "nano":
+            # plan E: single convs instead of residual blocks
+            d2 = _qconv(d2, q["d2b"], ci)
+            d3 = _requant(_conv_i8(d2, q["d3dn"], strides=(2, 2)))
+            d3 = _qconv(d3, q["d3b"], ci)
+        else:
+            d2 = _block(d2, q, None, "d2b", ci)
+            d3 = _requant(_conv_i8(d2, q["d3dn"], strides=(2, 2)))
+            d3 = _block(d3, q, None, "d3b", ci)
 
-        if self.decoder == "micro":
+        if self.decoder in ("micro", "nano"):
             c3 = _conv_i8(d3, q["ctx"], dilation=(3, 3))  # no act
             ctx_f = jax.nn.relu6(c3 + d3.astype(jnp.float32) * ACT_SCALE)
         else:
@@ -285,8 +301,8 @@ class QuantizedMatteNetHD:
                   "bias": jnp.zeros_like(layer["bias"])}
             return _requant(_conv_i8(up, la) + _conv_i8(skip, lb))
 
-        if self.decoder == "micro":
-            # plan D: 1x1-only decoder; the u1 skip is the stem output
+        if self.decoder in ("micro", "nano"):
+            # plans D/E: 1x1-only decoder; the u1 skip is the stem output
             up = _nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
             u2 = split_conv(up, d2, q["u2red"])
             up = _nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]

@@ -73,6 +73,22 @@ _PRESETS = {
         crop_impl="mxu",
         resize_impl="mxu",
     ),
+    # fast_int8 with the plan-E nano trunk (matting_decoder='nano'):
+    # plan D with single 3x3 convs instead of residual blocks
+    # (6.3 GFLOP/frame; study in benchmarks/RESULTS.md)
+    "fast_int8_nano": dict(
+        matting_input="native",
+        guide_impl="nearest_u8",
+        warp_impl="separable",
+        face_compact=True,
+        frame_layout="s2d",
+        s2d_block=10,
+        face_input="guide",
+        matting_precision="int8",
+        matting_decoder="nano",
+        crop_impl="mxu",
+        resize_impl="mxu",
+    ),
     # frameProcessor.ts: BlazeFace center tracking, translation warp
     # (gain 0.9, 50/50 blend), EMA 0.75, gamma 0.8, no morphology/prior;
     # detector on a plain 128 resize every frame

@@ -256,6 +256,66 @@ def run(model: Model, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             out = i[0].astype(_onnx_dtype(int(node.attr("to"))))
         elif op == "Slice":
             out = _np_slice(i)
+        elif op == "Sub":
+            out = i[0] - i[1]
+        elif op == "Sqrt":
+            out = np.sqrt(i[0])
+        elif op == "Tanh":
+            out = np.tanh(i[0])
+        elif op == "LeakyRelu":
+            al = float(node.attr("alpha", 0.01) or 0.01)
+            out = np.where(i[0] >= 0, i[0], al * i[0])
+        elif op == "HardSigmoid":
+            al = node.attr("alpha")
+            be = node.attr("beta")
+            al = 0.2 if al is None else float(al)
+            be = 0.5 if be is None else float(be)
+            out = np.clip(al * i[0] + be, 0.0, 1.0)
+        elif op == "HardSwish":
+            out = i[0] * np.clip(i[0] / 6.0 + 0.5, 0.0, 1.0)
+        elif op == "Softmax":
+            ax = node.attr("axis")
+            ax = -1 if ax is None else int(ax)
+            e = np.exp(i[0] - i[0].max(axis=ax, keepdims=True))
+            out = e / e.sum(axis=ax, keepdims=True)
+        elif op == "Flatten":
+            ax = int(node.attr("axis", 1) or 1)
+            out = i[0].reshape(int(np.prod(i[0].shape[:ax], initial=1)), -1)
+        elif op == "GlobalAveragePool":
+            out = i[0].mean(axis=tuple(range(2, i[0].ndim)), keepdims=True)
+        elif op == "AveragePool":
+            strides, _d, _g2, pads, kernel = _conv_attrs(node)
+            out = _np_avgpool(
+                i[0], kernel, strides, pads,
+                int(node.attr("count_include_pad", 0) or 0),
+            )
+        elif op == "ReduceMean":
+            axes = node.attr("axes")
+            if axes is None and len(i) > 1 and i[1] is not None:
+                axes = [int(a) for a in np.asarray(i[1])]
+            kd = int(node.attr("keepdims", 1))
+            kd = bool(1 if kd is None else kd)
+            out = i[0].mean(axis=tuple(axes) if axes else None, keepdims=kd)
+        elif op == "BatchNormalization":
+            x, sc, bb, mean, var = i[:5]
+            eps = node.attr("epsilon")
+            eps = 1e-5 if eps is None else float(eps)
+            shp = [1, -1] + [1] * (x.ndim - 2)
+            out = (
+                sc.reshape(shp) * (x - mean.reshape(shp))
+                / np.sqrt(var.reshape(shp) + eps) + bb.reshape(shp)
+            )
+        elif op == "Split":
+            ax = int(node.attr("axis", 0) or 0)
+            sp = node.attr("split")
+            if sp is None and len(i) > 1 and i[1] is not None:
+                sp = [int(s) for s in np.asarray(i[1])]
+            if sp is None:
+                kk = len(node.outputs)
+                sp = [i[0].shape[ax] // kk] * kk
+            out = np.split(i[0], np.cumsum(sp)[:-1].tolist(), axis=ax)
+        elif op == "Resize":
+            out = _np_resize(i, node)
         else:
             raise NotImplementedError(f"op {op} ({node.name})")
         for k, name in enumerate(node.outputs):
@@ -267,6 +327,117 @@ def _onnx_dtype(code: int):
     from video_stream_segmenetation_tpu.utils.onnx_lite import _DTYPES
 
     return _DTYPES[code]
+
+
+def _np_avgpool(x, kernel, strides, pads, count_include_pad):
+    n, c, h, w = x.shape
+    pp = _pair_pads(pads)
+    xp = np.pad(x, ((0, 0), (0, 0), pp[0], pp[1]))
+    ones = np.pad(np.ones((h, w), x.dtype), pp)
+    kh, kw = kernel
+    sh, sw = strides
+    oh = (xp.shape[2] - kh) // sh + 1
+    ow = (xp.shape[3] - kw) // sw + 1
+    out = np.zeros((n, c, oh, ow), x.dtype)
+    cnt = np.zeros((oh, ow), x.dtype)
+    for dy in range(kh):
+        for dx in range(kw):
+            out += xp[:, :, dy:dy + sh * oh:sh, dx:dx + sw * ow:sw]
+            cnt += ones[dy:dy + sh * oh:sh, dx:dx + sw * ow:sw]
+    if count_include_pad:
+        return out / float(kh * kw)
+    return out / np.maximum(cnt, 1.0)
+
+
+def _resize_axis(n_in: int, n_out: int, coord: str):
+    """Per-axis source coordinates for ONNX Resize (float positions)."""
+    xo = np.arange(n_out, dtype=np.float64)
+    scale = n_out / n_in
+    if coord in ("align_corners",):
+        if n_out == 1:
+            return np.zeros(1)
+        return xo * (n_in - 1) / (n_out - 1)
+    if coord in ("asymmetric",):
+        return xo / scale
+    if coord in ("pytorch_half_pixel",):
+        if n_out == 1:
+            return np.zeros(1)
+        return (xo + 0.5) / scale - 0.5
+    # default: half_pixel
+    return (xo + 0.5) / scale - 0.5
+
+
+def _resize_params(node, i, ndim):
+    """Resolve (out_sizes, mode, coord, nearest_mode) from a Resize node.
+    opset-10 form (X, scales) and opset-11+ (X, roi, scales, sizes)."""
+    mode = node.attr("mode", b"nearest")
+    mode = mode.decode() if isinstance(mode, bytes) else (mode or "nearest")
+    coord = node.attr("coordinate_transformation_mode", b"half_pixel")
+    coord = coord.decode() if isinstance(coord, bytes) else (coord or "half_pixel")
+    nearest_mode = node.attr("nearest_mode", b"round_prefer_floor")
+    nearest_mode = (nearest_mode.decode() if isinstance(nearest_mode, bytes)
+                    else (nearest_mode or "round_prefer_floor"))
+    x = i[0]
+    sizes = None
+    if len(i) > 3 and i[3] is not None:
+        sizes = [int(s) for s in np.asarray(i[3])]
+    else:
+        scales_idx = 2 if len(i) > 2 else 1
+        scales = np.asarray(i[scales_idx]).reshape(-1)
+        if scales.size:
+            sizes = [int(np.floor(x.shape[k] * scales[k])) for k in range(ndim)]
+    if sizes is None:
+        raise NotImplementedError("Resize: neither scales nor sizes given")
+    return sizes, mode, coord, nearest_mode
+
+
+def _nearest_idx(src: np.ndarray, n_in: int, nearest_mode: str):
+    if nearest_mode == "floor":
+        idx = np.floor(src)
+    elif nearest_mode == "ceil":
+        idx = np.ceil(src)
+    elif nearest_mode == "round_prefer_ceil":
+        idx = np.floor(src + 0.5)
+    else:  # round_prefer_floor
+        idx = np.ceil(src - 0.5)
+    return np.clip(idx, 0, n_in - 1).astype(np.int64)
+
+
+def _linear_taps(src: np.ndarray, n_in: int):
+    i0 = np.clip(np.floor(src), 0, n_in - 1).astype(np.int64)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    w1 = np.clip(src - np.floor(src), 0.0, 1.0)
+    # when src < 0 the ONNX reference clamps coordinates (extrapolation
+    # weight still uses the fractional part of the clamped position)
+    w1 = np.where(src < 0, 0.0, np.where(src > n_in - 1, 1.0, w1))
+    return i0, i1, w1
+
+
+def _np_resize(i, node):
+    """ONNX Resize on the 2 trailing (spatial) axes of an NCHW tensor --
+    the form every matting/face model in scope uses (the reference's own
+    patch.py rewrites exactly these attrs: mode/coords/rounding,
+    client/src/patch.py:35-50)."""
+    x = i[0]
+    sizes, mode, coord, nearest_mode = _resize_params(node, i, x.ndim)
+    oh, ow = sizes[-2], sizes[-1]
+    h, w = x.shape[-2], x.shape[-1]
+    if list(sizes[:-2]) != list(x.shape[:-2]):
+        raise NotImplementedError("Resize on non-spatial axes")
+    sy = _resize_axis(h, oh, coord)
+    sx = _resize_axis(w, ow, coord)
+    if mode == "nearest":
+        yi = _nearest_idx(sy, h, nearest_mode)
+        xi = _nearest_idx(sx, w, nearest_mode)
+        return x[..., yi, :][..., xi]
+    if mode != "linear":
+        raise NotImplementedError(f"Resize mode {mode}")
+    y0, y1, wy = _linear_taps(sy, h)
+    x0, x1, wx = _linear_taps(sx, w)
+    top = x[..., y0, :] * (1 - wy)[..., :, None] + x[..., y1, :] * wy[..., :, None]
+    return (
+        top[..., x0] * (1 - wx) + top[..., x1] * wx
+    ).astype(x.dtype, copy=False)
 
 
 def _np_slice(i):
@@ -451,9 +622,137 @@ def build_jax_fn(model: Model, nms_capacity: int = 16):
                 vals[node.outputs[0] + "__valid"] = valid
             elif op == "Cast":
                 out = jnp.asarray(i[0], _onnx_dtype(int(node.attr("to"))))
+            elif op == "Shape":
+                out = np.asarray(np.shape(i[0]), np.int64)
+            elif op == "Slice":
+                starts = static(1, node).tolist()
+                ends = static(2, node).tolist()
+                axes = (static(3, node).tolist()
+                        if len(node.inputs) > 3 and static(3, node) is not None
+                        else list(range(len(starts))))
+                steps = (static(4, node).tolist()
+                         if len(node.inputs) > 4 and static(4, node) is not None
+                         else [1] * len(starts))
+                sl = [slice(None)] * i[0].ndim
+                for st, en, ax, sp in zip(starts, ends, axes, steps):
+                    sl[ax] = slice(st, en, sp)
+                out = i[0][tuple(sl)]
+            elif op == "Sub":
+                out = i[0] - i[1]
+            elif op == "Sqrt":
+                out = jnp.sqrt(i[0])
+            elif op == "Tanh":
+                out = jnp.tanh(i[0])
+            elif op == "LeakyRelu":
+                al = float(node.attr("alpha", 0.01) or 0.01)
+                out = jnp.where(i[0] >= 0, i[0], al * i[0])
+            elif op == "HardSigmoid":
+                al = node.attr("alpha")
+                be = node.attr("beta")
+                al = 0.2 if al is None else float(al)
+                be = 0.5 if be is None else float(be)
+                out = jnp.clip(al * i[0] + be, 0.0, 1.0)
+            elif op == "HardSwish":
+                out = i[0] * jnp.clip(i[0] / 6.0 + 0.5, 0.0, 1.0)
+            elif op == "Softmax":
+                ax = node.attr("axis")
+                ax = -1 if ax is None else int(ax)
+                out = jax.nn.softmax(i[0], axis=ax)
+            elif op == "Flatten":
+                ax = int(node.attr("axis", 1) or 1)
+                lead = 1
+                for d in i[0].shape[:ax]:
+                    lead *= d
+                out = jnp.reshape(i[0], (lead, -1))
+            elif op == "GlobalAveragePool":
+                out = jnp.mean(i[0], axis=tuple(range(2, i[0].ndim)), keepdims=True)
+            elif op == "AveragePool":
+                strides, _d, _g2, pads, kernel = _conv_attrs(node)
+                pp = _pair_pads(pads)
+                icp = int(node.attr("count_include_pad", 0) or 0)
+                summed = lax.reduce_window(
+                    i[0], 0.0, lax.add,
+                    window_dimensions=(1, 1, *kernel),
+                    window_strides=(1, 1, *strides),
+                    padding=[(0, 0), (0, 0), *pp],
+                )
+                if icp:
+                    out = summed / float(kernel[0] * kernel[1])
+                else:
+                    ones = jnp.ones(i[0].shape[-2:], i[0].dtype)[None, None]
+                    cnt = lax.reduce_window(
+                        ones, 0.0, lax.add,
+                        window_dimensions=(1, 1, *kernel),
+                        window_strides=(1, 1, *strides),
+                        padding=[(0, 0), (0, 0), *pp],
+                    )
+                    out = summed / jnp.maximum(cnt, 1.0)
+            elif op == "ReduceMean":
+                axes = node.attr("axes")
+                if axes is None and len(node.inputs) > 1:
+                    sax = static(1, node)
+                    axes = None if sax is None else [int(a) for a in sax]
+                kd = node.attr("keepdims")
+                kd = bool(1 if kd is None else int(kd))
+                out = jnp.mean(i[0], axis=tuple(axes) if axes else None,
+                               keepdims=kd)
+            elif op == "BatchNormalization":
+                x, sc, bb, mean, var = i[:5]
+                eps = node.attr("epsilon")
+                eps = 1e-5 if eps is None else float(eps)
+                shp = [1, -1] + [1] * (x.ndim - 2)
+                out = (
+                    jnp.reshape(sc, shp) * (x - jnp.reshape(mean, shp))
+                    / jnp.sqrt(jnp.reshape(var, shp) + eps)
+                    + jnp.reshape(bb, shp)
+                )
+            elif op == "Split":
+                ax = int(node.attr("axis", 0) or 0)
+                sp = node.attr("split")
+                if sp is None and len(node.inputs) > 1:
+                    ssp = static(1, node)
+                    sp = None if ssp is None else [int(s) for s in ssp]
+                if sp is None:
+                    kk = len(node.outputs)
+                    sp = [i[0].shape[ax] // kk] * kk
+                cuts = np.cumsum(sp)[:-1].tolist()
+                out = jnp.split(i[0], cuts, axis=ax)
+            elif op == "Resize":
+                # sizes/scales are static operands in every model in scope
+                si = [vals.get(n) if n else None for n in node.inputs]
+                si = [i[0]] + [
+                    (static(k, node) if k else None)
+                    for k in range(1, len(node.inputs))
+                ]
+                sizes, mode, coord, nearest_mode = _resize_params(
+                    node, si, i[0].ndim
+                )
+                oh, ow = sizes[-2], sizes[-1]
+                h, w = i[0].shape[-2], i[0].shape[-1]
+                sy = _resize_axis(h, oh, coord)
+                sx = _resize_axis(w, ow, coord)
+                if mode == "nearest":
+                    yi = _nearest_idx(sy, h, nearest_mode)
+                    xi = _nearest_idx(sx, w, nearest_mode)
+                    out = jnp.take(
+                        jnp.take(i[0], jnp.asarray(yi), axis=-2),
+                        jnp.asarray(xi), axis=-1,
+                    )
+                elif mode == "linear":
+                    y0, y1, wy = _linear_taps(sy, h)
+                    x0, x1, wx = _linear_taps(sx, w)
+                    t0 = jnp.take(i[0], jnp.asarray(y0), axis=-2)
+                    t1 = jnp.take(i[0], jnp.asarray(y1), axis=-2)
+                    top = t0 * (1 - wy)[:, None] + t1 * wy[:, None]
+                    c0 = jnp.take(top, jnp.asarray(x0), axis=-1)
+                    c1 = jnp.take(top, jnp.asarray(x1), axis=-1)
+                    out = c0 * (1 - wx) + c1 * wx
+                else:
+                    raise NotImplementedError(f"Resize mode {mode}")
             else:
                 raise NotImplementedError(f"op {op} ({node.name})")
-            vals[node.outputs[0]] = out
+            for k, name in enumerate(node.outputs):
+                vals[name] = out if len(node.outputs) == 1 else out[k]
         res = {name: vals[name] for name in g.outputs}
         for name in g.outputs:
             if name + "__valid" in vals:
