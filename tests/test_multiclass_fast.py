@@ -133,8 +133,8 @@ def test_multiclass_fast_preset():
     assert p.frame_layout == "s2d"
     assert p.matting_precision == "int8"
     # must match the mattenet_hd10_mc checkpoint's architecture
-    # (tools/train_variants.py::train_multiclass_hd: decoder='light')
-    assert p.matting_decoder == "light"
+    # (tools/train_variants.py::train_multiclass_hd: decoder='nano')
+    assert p.matting_decoder == "nano"
 
 
 def test_multiclass_plan_c_int8_matches_bf16(rng):

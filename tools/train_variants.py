@@ -163,11 +163,13 @@ def train_multiclass(steps, hw=(288, 512), batch=12, k=4):
 
 def train_multiclass_hd(steps, hw=(720, 1280), batch=6, k=4,
                         pre_hw=(240, 320), pre_batch=24):
-    """K-class MatteNetHD plan-C for the multiclass fast stack
+    """K-class MatteNetHD plan-E for the multiclass fast stack
     (preset 'multiclass_fast'): pretrain small, fine-tune at 720p (the
-    mandatory serving-resolution phase, train/loop.py::fit)."""
+    mandatory serving-resolution phase, train/loop.py::fit).  The nano
+    trunk won the single-class quality/speed study (RESULTS.md) and the
+    same holds here."""
     model = models.MatteNetHD(
-        stem_stride=10, head_upsample=4, num_classes=k, decoder="light"
+        stem_stride=10, head_upsample=4, num_classes=k, decoder="nano"
     )
 
     def loss_at(hw_, batch_):

@@ -185,6 +185,11 @@ def alpha_composite_s2d(
         "xw,smw->smx", a_w, alpha.astype(dt), precision=prec
     )  # [S, mh, fw]
 
+    # NOTE: the b per-dy matmuls are deliberate.  A single stacked
+    # [b*hp, mh] vertical matmul reads bmat once -- but its [S, fh, fw]
+    # output MATERIALIZES (236 MB f32 at S=64), where the per-dy form
+    # fuses each a_dy straight into the blend epilogue; measured 3.86 vs
+    # 2.10 ms for the composite at S=64 (2026-08-17 tail dissection).
     out_slices = []
     for dy in range(b):
         v = jnp.asarray(a_h[dy::b], dt)  # [hp, mh]
@@ -328,24 +333,32 @@ def multiclass_composite_s2d(
 
     a_h = _interp_matrix(fh, mh, method)                      # [fh, mh]
     a_w_m = jnp.asarray(_interp_matrix(fw, mw, method), dt)   # [fw, mw]
+    # rows grouped dy-major (row (dy, i) = a_h[i*b + dy]) for the
+    # ALREADY-MATERIALIZED hmat_r intermediate: per-dy consumers then
+    # read contiguous row blocks instead of strided dy::b slices.  (The
+    # w_f H-pass stays per-dy: stacking it would materialize a full-res
+    # plane the per-dy form fuses into the blend -- see the note in
+    # alpha_composite_s2d.)
+    a_h_perm = np.concatenate([a_h[dy::b] for dy in range(b)], axis=0)
 
-    # scalar w_f plane: plain separable upsample (W then per-slice H)
+    # scalar w_f plane: plain separable upsample (W pass; per-dy H pass
+    # fused into the blend below)
     bmat_f = jnp.einsum("xw,smw->smx", a_w_m, w_f.astype(dt), precision=prec)
 
     # RGB field, H-pass FIRST with the channels concatenated on the lane
     # axis c-major ([S, mh, 3*mw] -- a cheap planar concat, never a
-    # channel-minormost interleave): the per-slice re-reads then hit
-    # disjoint row blocks of one [S, fh, 3*mw] intermediate.  The W-pass
-    # per slice uses the c-major Kronecker matrix (I_3 (x) A_w rows,
-    # built in-graph from a_w_m) whose OUTPUT lane axis is already
-    # X = (wp*b + dx)*3 + c -- packed order, no transpose ever happens.
+    # channel-minormost interleave), rows dy-major so the per-slice
+    # re-reads hit contiguous row blocks of one [S, fh, 3*mw]
+    # intermediate.  The W-pass per slice uses the c-major Kronecker
+    # matrix (I_3 (x) A_w rows, built in-graph from a_w_m) whose OUTPUT
+    # lane axis is already X = (wp*b + dx)*3 + c -- packed order, no
+    # transpose ever happens.
     rgb_cat = jnp.concatenate(
         [rgb[:, c].astype(dt) for c in range(3)], axis=-1
     )                                                         # [S, mh, 3*mw]
-    a_h_dt = jnp.asarray(a_h, dt)                             # [fh, mh]
     hmat_r = jnp.einsum(
-        "rm,smq->srq", a_h_dt, rgb_cat, precision=prec
-    )                                                         # [S, fh, 3*mw]
+        "rm,smq->srq", jnp.asarray(a_h_perm, dt), rgb_cat, precision=prec
+    )                                                         # [S, b*hp(dy-major), 3*mw]
     # kron[X=(x, cx), q=(cq, w)] = a_w[x, w] * delta(cx, cq)
     kron = (
         a_w_m[:, None, None, :] * jnp.eye(3, dtype=dt)[None, :, :, None]
@@ -358,7 +371,8 @@ def multiclass_composite_s2d(
             "im,smx->six", v, bmat_f, precision=prec
         ).astype(jnp.float32)                                 # [S, hp, fw]
         r_sl = jnp.einsum(
-            "Xq,siq->siX", kron, hmat_r[:, dy::b], precision=prec
+            "Xq,siq->siX", kron, hmat_r[:, dy * hp : (dy + 1) * hp],
+            precision=prec,
         ).astype(jnp.float32)                                 # [S, hp, fw*3]
         wf3 = jnp.broadcast_to(
             wf_sl.reshape(s, hp, wp, b, 1), (s, hp, wp, b, 3)

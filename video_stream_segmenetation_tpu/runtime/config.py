@@ -138,6 +138,11 @@ class PipelineStatics:
     # 32.3 ms/step -- the interp-weight blocks refetch per grid step);
     # kept for future tuning. True enables; 'auto' currently = False.
     use_fused_composite: Any = False
+    # bench-only stage truncation for step-cost attribution
+    # (tools/bench_step_ablate.py): '' = full step; 'model_only' = skip
+    # warp/EMA/refine (a = raw model alpha); 'no_composite' = full
+    # refine, passthrough output.  NOT a serving mode.
+    debug_stage: str = ""
     # resize lowering: 'gather' = reference-exact gather path; 'mxu' =
     # dense interp matmuls (NOT recommended at 720p -- channel-minormost
     # layout makes XLA's lowering pathological; kept for small inputs)

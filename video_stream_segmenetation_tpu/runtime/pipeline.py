@@ -521,7 +521,11 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         guide = None if planar_guide else jnp.floor(small * 255.0 + 0.5)
         # use_fused / use_fused_tr / planar_guide resolved at build time
 
-        if use_fused_tr:
+        if statics.debug_stage == "model_only":
+            # bench-only attribution: raw model alpha straight to the
+            # composite (cost(refine chain) = full - this)
+            new_prev, a = alpha_raw, alpha_raw
+        elif use_fused_tr:
             from video_stream_segmenetation_tpu.kernels.refine_fused import (
                 fused_temporal_refine,
             )
@@ -564,8 +568,8 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                     state.prev_alpha, base, knobs.ema, state.initialized
                 )
 
-        if use_fused_tr:
-            pass  # refinement already applied inside the fused kernel
+        if use_fused_tr or statics.debug_stage == "model_only":
+            pass  # refinement already applied / skipped (bench attribution)
         elif use_fused:
             # stages 5/7/8/9 in one VMEM-resident Pallas kernel
             from video_stream_segmenetation_tpu.kernels.refine_fused import fused_refine
@@ -607,7 +611,9 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             and statics.background in ("image", "color")
             and fh % ROW_BLOCK == 0
         )
-        if s2d and statics.background in ("image", "color"):
+        if statics.debug_stage == "no_composite":
+            out_u8 = frames_u8  # bench-only: passthrough output
+        elif s2d and statics.background in ("image", "color"):
             # packed-layout composite: upsample + blend without ever
             # reconstructing the natural layout on device (ops/layout.py;
             # a full-batch depth_to_space costs ~27 ms at S=64x720p)

@@ -138,10 +138,10 @@ _PRESETS = {
             {"tint": (0.3, 0.5, 0.9), "strength": 0.3},
         ),
     ),
-    # config 5 on the fast stack: s2d packed ingestion, plan-C int8 HD
-    # trunk with K-class heads (matches the mattenet_hd10_mc checkpoint,
-    # tools/train_variants.py::train_multiclass_hd), packed per-class
-    # composite (ops.multiclass_composite_s2d) -- no full-res
+    # config 5 on the fast stack: s2d packed ingestion, plan-E nano int8
+    # HD trunk with K-class heads (matches the mattenet_hd10_mc
+    # checkpoint, tools/train_variants.py::train_multiclass_hd), packed
+    # per-class composite (ops.multiclass_composite_s2d) -- no full-res
     # reconstruction
     "multiclass_fast": dict(
         num_classes=4,
@@ -155,7 +155,7 @@ _PRESETS = {
         frame_layout="s2d",
         s2d_block=10,
         matting_precision="int8",
-        matting_decoder="light",
+        matting_decoder="nano",
         resize_impl="mxu",
         face_path=False,
     ),

@@ -21,11 +21,13 @@ from __future__ import annotations
 
 import threading
 import time
-from typing import Callable
+from typing import TYPE_CHECKING, Callable
 
 import numpy as np
 
-from video_stream_segmenetation_tpu.service.engine import Engine
+if TYPE_CHECKING:  # annotation-only: a module-level import would make
+    # `import ...service` fail (service.engine -> runtime -> scheduler cycle)
+    from video_stream_segmenetation_tpu.service.engine import Engine
 
 
 class StreamScheduler:
