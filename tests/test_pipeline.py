@@ -154,3 +154,42 @@ def test_segment_once(setup, rng):
     a = seg(bundle.params, frames)
     assert a.shape == (S, *MASK_HW)
     assert a.dtype == jnp.float32
+
+
+def test_debug_stage_truncations(setup, rng):
+    """Bench-only stage-truncation hooks (PipelineStatics.debug_stage,
+    tools/bench_step_ablate.py): 'model_only' serves the raw model alpha,
+    'no_composite' passes frames through, and the comma-combined form
+    applies both.  These must keep shapes/dtypes so ablation variants
+    compile against the same harness."""
+    import dataclasses
+
+    bundle, statics, _ = setup
+    state = runtime.init_state(S, MASK_HW)
+    knobs = runtime.default_knobs(S)
+    frames = _frames(rng)
+    bg = jnp.zeros((S, *FRAME_HW, 3))
+    gate = jnp.zeros((S,), bool)
+
+    full_step = jax.jit(runtime.make_step(bundle, statics))
+    _, out_full = full_step(bundle.params, state, frames, bg, knobs, gate)
+
+    for ds in ("model_only", "no_composite", "model_only,no_composite"):
+        st = dataclasses.replace(statics, debug_stage=ds)
+        step = jax.jit(runtime.make_step(bundle, st))
+        new_state, out = step(bundle.params, state, frames, bg, knobs, gate)
+        assert out["frame"].shape == (S, *FRAME_HW, 3)
+        assert out["frame"].dtype == jnp.uint8
+        assert out["alpha"].shape == (S, *MASK_HW)
+        if "no_composite" in ds:
+            np.testing.assert_array_equal(np.asarray(out["frame"]), np.asarray(frames))
+        if "model_only" in ds:
+            # refine chain skipped: state carries the raw model alpha
+            np.testing.assert_array_equal(
+                np.asarray(new_state.prev_alpha), np.asarray(out["alpha"])
+            )
+        else:
+            # truncating the composite must not change the refine chain
+            np.testing.assert_allclose(
+                np.asarray(out["alpha"]), np.asarray(out_full["alpha"]), atol=1e-6
+            )

@@ -141,7 +141,8 @@ class PipelineStatics:
     # bench-only stage truncation for step-cost attribution
     # (tools/bench_step_ablate.py): '' = full step; 'model_only' = skip
     # warp/EMA/refine (a = raw model alpha); 'no_composite' = full
-    # refine, passthrough output.  NOT a serving mode.
+    # refine, passthrough output.  Comma-combinable
+    # ('model_only,no_composite' = bare trunk cost).  NOT a serving mode.
     debug_stage: str = ""
     # resize lowering: 'gather' = reference-exact gather path; 'mxu' =
     # dense interp matmuls (NOT recommended at 720p -- channel-minormost

@@ -521,7 +521,7 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         guide = None if planar_guide else jnp.floor(small * 255.0 + 0.5)
         # use_fused / use_fused_tr / planar_guide resolved at build time
 
-        if statics.debug_stage == "model_only":
+        if "model_only" in statics.debug_stage:
             # bench-only attribution: raw model alpha straight to the
             # composite (cost(refine chain) = full - this)
             new_prev, a = alpha_raw, alpha_raw
@@ -568,7 +568,7 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                     state.prev_alpha, base, knobs.ema, state.initialized
                 )
 
-        if use_fused_tr or statics.debug_stage == "model_only":
+        if use_fused_tr or "model_only" in statics.debug_stage:
             pass  # refinement already applied / skipped (bench attribution)
         elif use_fused:
             # stages 5/7/8/9 in one VMEM-resident Pallas kernel
@@ -611,7 +611,7 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             and statics.background in ("image", "color")
             and fh % ROW_BLOCK == 0
         )
-        if statics.debug_stage == "no_composite":
+        if "no_composite" in statics.debug_stage:
             out_u8 = frames_u8  # bench-only: passthrough output
         elif s2d and statics.background in ("image", "color"):
             # packed-layout composite: upsample + blend without ever
