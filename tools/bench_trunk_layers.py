@@ -27,6 +27,8 @@ STOPS = [
     "stem", "d2dn", "d2b", "d3dn", "d3b", "ctx", "se",
     "u2red", "u1red", "heads", "full",
 ]
+if len(sys.argv) > 3:
+    STOPS = sys.argv[3].split(",")
 
 _CHILD = r"""
 import json, time, sys
@@ -81,20 +83,22 @@ def fwd(q, x, eps):
     if STOP == "se":
         return ctx
 
-    def split_conv(up, skip, layer):
-        ca = up.shape[-1]
+    def split_conv_up(small, skip, layer):
+        # conv-below-upsample form (models/quantized.py::split_conv_up)
+        ca = small.shape[-1]
         la = {"wq": layer["wq"][:, :, :ca], "mult": layer["mult"],
               "bias": layer["bias"]}
         lb = {"wq": layer["wq"][:, :, ca:], "mult": layer["mult"],
               "bias": jnp.zeros_like(layer["bias"])}
-        return Q._requant(Q._conv_i8(up, la) + Q._conv_i8(skip, lb))
+        ya = Q._nearest_x2(Q._conv_i8(small, la))[
+            ..., : skip.shape[-3], : skip.shape[-2], :
+        ]
+        return Q._requant(ya + Q._conv_i8(skip, lb))
 
-    up = Q._nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
-    u2 = split_conv(up, d2, q["u2red"])
+    u2 = split_conv_up(ctx, d2, q["u2red"])
     if STOP == "u2red":
         return u2
-    up = Q._nearest_x2(u2)[..., : x0.shape[-3], : x0.shape[-2], :]
-    u1 = split_conv(up, x0, q["u1red"])
+    u1 = split_conv_up(u2, x0, q["u1red"])
     if STOP == "u1red":
         return u1
 
@@ -120,10 +124,23 @@ def fwd(q, x, eps):
     return jax.nn.sigmoid(al)
 
 
-@jax.jit
 def step(q, x, eps):
     out = fwd(q, x, eps)
-    return jnp.sum(out[:1, :2, :2].astype(jnp.float32)) * 0.0
+    # FULL-tensor reduce: a corner-slice reduce lets XLA slice-propagate
+    # backwards and skip most of the tail (observed: 'full' timed BELOW
+    # 'heads'); *0.0 keeps the chain dependency without foldability
+    return jnp.sum(out, dtype=jnp.float32) * 0.0
+
+
+@jax.jit
+def chain_n(q, x, eps):
+    # N steps inside ONE jit: per-dispatch tunnel overhead (an HTTP call
+    # per execute) otherwise floors short programs at the RTT
+    def body(e, _):
+        return step(q, x, e), None
+
+    e, _ = jax.lax.scan(body, eps, None, length=N)
+    return e
 
 
 key = jax.random.PRNGKey(0)
@@ -134,21 +151,17 @@ x = jax.jit(
     )
 )(key)
 
-
-def chain(n):
-    eps = jnp.float32(0.0)
-    for _ in range(n):
-        eps = step(q, x, eps)
-    return eps
-
-r = np.asarray(chain(2))
+r = np.asarray(chain_n(q, x, jnp.float32(0.0)))
+tiny = jax.jit(lambda e: e + 1.0)  # jitted sync probe (eager ops hang
+tiny_v = tiny(jnp.float32(0.0))    # on this tunnel, bench_suite note)
+_ = np.asarray(tiny_v)
 t0 = time.perf_counter()
-_ = np.asarray(chain(0) + r)
+_ = np.asarray(tiny(tiny_v))
 rtt = (time.perf_counter() - t0) * 1e3
 best = 1e9
 for _ in range(3):
     t0 = time.perf_counter()
-    _ = np.asarray(chain(N))
+    _ = np.asarray(chain_n(q, x, jnp.float32(0.0)))
     best = min(best, ((time.perf_counter() - t0) * 1e3 - rtt) / N)
 print("RESULT", json.dumps({"ms": best}))
 """

@@ -301,20 +301,35 @@ class QuantizedMatteNetHD:
                   "bias": jnp.zeros_like(layer["bias"])}
             return _requant(_conv_i8(up, la) + _conv_i8(skip, lb))
 
+        def split_conv_up(small, skip, layer):
+            """split_conv with the up-path conv hoisted BELOW the x2
+            nearest upsample: a 1x1 conv commutes with nearest-neighbor
+            duplication, so conv(up(x)) == up(conv(x)) bit-exactly -- and
+            the broadcast-fed int8 conv at the big resolution, which XLA
+            lowers at ~3% of the s8 MXU peak (u1red was 3.56 ms of the
+            5.7 ms trunk, tools/bench_trunk_layers.py 2026-08-17), is
+            replaced by the same conv at 1/4 the pixels plus an f32
+            broadcast fused into the add epilogue."""
+            ca = small.shape[-1]
+            la = {"wq": layer["wq"][:, :, :ca], "mult": layer["mult"],
+                  "bias": layer["bias"]}
+            lb = {"wq": layer["wq"][:, :, ca:], "mult": layer["mult"],
+                  "bias": jnp.zeros_like(layer["bias"])}
+            ya = _nearest_x2(_conv_i8(small, la))[
+                ..., : skip.shape[-3], : skip.shape[-2], :
+            ]
+            return _requant(ya + _conv_i8(skip, lb))
+
         if self.decoder in ("micro", "nano"):
             # plans D/E: 1x1-only decoder; the u1 skip is the stem output
-            up = _nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
-            u2 = split_conv(up, d2, q["u2red"])
-            up = _nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]
-            u1 = split_conv(up, b1, q["u1red"])
+            u2 = split_conv_up(ctx, d2, q["u2red"])
+            u1 = split_conv_up(u2, b1, q["u1red"])
         elif self.decoder == "light":
-            # plan C: 1x1-reduce decoders (split-conv trick works for 1x1
-            # too), one 3x3 at the /2 level only
-            up = _nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
-            u2 = split_conv(up, d2, q["u2red"])
+            # plan C: 1x1-reduce decoders (conv-below-upsample works for
+            # 1x1 too), one 3x3 at the /2 level only
+            u2 = split_conv_up(ctx, d2, q["u2red"])
             u2 = _qconv(u2, q["u2"], ci)
-            up = _nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]
-            u1 = split_conv(up, b1, q["u1red"])
+            u1 = split_conv_up(u2, b1, q["u1red"])
         else:
             u2 = _nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
             u2 = split_conv(u2, d2, q["u2"])
