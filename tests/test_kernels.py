@@ -113,3 +113,38 @@ def test_conv3x3_i8_fused_matches_quantized_ops(rng):
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_decoder_level_fused_matches_xla(rng):
+    """Fused decoder-level kernel (kernels/decoder_int8.py) == the XLA
+    split_conv_up path (models/quantized.py) bit-exactly."""
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu.kernels.decoder_int8 import (
+        fused_decoder_level,
+    )
+    from video_stream_segmenetation_tpu.models.quantized import (
+        _conv_i8,
+        _nearest_x2,
+        _requant,
+    )
+
+    S, SH, SW, CA, CB, CO = 2, 8, 16, 192, 128, 128
+    small = jnp.asarray(rng.integers(0, 127, (S, SH, SW, CA)).astype(np.int8))
+    skip = jnp.asarray(
+        rng.integers(0, 127, (S, 2 * SH, 2 * SW, CB)).astype(np.int8)
+    )
+    wq = jnp.asarray(
+        rng.integers(-127, 127, (1, 1, CA + CB, CO)).astype(np.int8)
+    )
+    mult = jnp.asarray(rng.random(CO).astype(np.float32) * 1e-3)
+    bias = jnp.asarray((rng.random(CO).astype(np.float32) - 0.5))
+    layer = {"wq": wq, "mult": mult, "bias": bias}
+
+    la = {"wq": wq[:, :, :CA], "mult": mult, "bias": bias}
+    lb = {"wq": wq[:, :, CA:], "mult": mult, "bias": jnp.zeros_like(bias)}
+    ya = _nearest_x2(_conv_i8(small, la))
+    ref = np.asarray(_requant(ya + _conv_i8(skip, lb)))
+
+    got = np.asarray(fused_decoder_level(small, skip, layer, interpret=True))
+    np.testing.assert_array_equal(got, ref)

@@ -42,8 +42,12 @@ if len(sys.argv) > 2:
 _CHILD = r"""
 import dataclasses, json, time, sys
 sys.path.insert(0, %(root)r)
+import os as _osp
 import numpy as np
 import jax
+if _osp.environ.get("VST_CHILD_PLATFORM"):
+    # the axon plugin overrides the env var; only jax.config wins
+    jax.config.update("jax_platforms", _osp.environ["VST_CHILD_PLATFORM"])
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
@@ -51,7 +55,8 @@ from video_stream_segmenetation_tpu import ops
 from video_stream_segmenetation_tpu.runtime.presets import preset
 from video_stream_segmenetation_tpu.service.engine import Engine
 
-S, N = 64, 20
+import os as _os0
+S, N = int(_os0.environ.get("VST_S", "64")), int(_os0.environ.get("VST_N", "20"))
 overrides = json.loads(%(overrides)r)
 statics = dataclasses.replace(preset(%(base)r), **overrides)
 key = jax.random.PRNGKey(0)
@@ -67,11 +72,56 @@ for _ in range(S):
 bgs, gate = eng.backgrounds, jnp.ones((S,), bool)
 red = jax.jit(lambda f: jnp.sum(f.ravel()[:4].astype(jnp.int32)))
 
-def chain(n):
-    st = eng.state
-    for _ in range(n):
-        st, out = eng._step(eng.bundle.params, st, fp, bgs, eng.knobs, gate)
-    return st, out
+import os as _os
+if _os.environ.get("VST_SCAN"):
+    # chain inside ONE jit via lax.scan: removes the per-dispatch tunnel
+    # overhead from the measurement (each async execute is an HTTP call;
+    # short programs otherwise floor at the RTT).  Two DCE traps this
+    # harness defends against: (1) the full out["frame"] is reduced into
+    # the carry, so no stage is dead; (2) frames rotate through NBUF
+    # distinct device buffers per step -- with a FIXED input the model
+    # forward is loop-invariant and XLA hoists it OUT of the scan
+    # entirely (observed: trunk-only "0.59 ms").  Production serving
+    # also reads fresh frames every step, so the rotating read is part
+    # of the honest cost, not overhead.
+    step_fn = eng._step  # jit-of-jit inlines when traced inside scan
+    NBUF = 4
+    fstack = jax.jit(
+        lambda k: ops.space_to_depth(
+            (jax.random.uniform(
+                k, (NBUF, S, *statics.frame_hw, 3)
+            ) * 255).astype(jnp.uint8),
+            statics.s2d_block,
+        )
+    )(key)
+
+    def _scan_chain(params, st0, stack, bgs, knobs, gate, n):
+        def body(carry, i):
+            st, acc = carry
+            f = jax.lax.dynamic_index_in_dim(stack, i %% NBUF, 0, keepdims=False)
+            st, out = step_fn(params, st, f, bgs, knobs, gate)
+            acc = acc + jnp.sum(out["frame"], dtype=jnp.float32)
+            return (st, acc), None
+
+        (st, acc), _ = jax.lax.scan(
+            body, (st0, jnp.float32(0.0)), jnp.arange(n, dtype=jnp.int32)
+        )
+        return st, {"frame": acc * 0.0}
+
+    _scan_jit = {}
+
+    def chain(n):
+        if n not in _scan_jit:
+            _scan_jit[n] = jax.jit(
+                lambda p, s, f, b, k, g: _scan_chain(p, s, f, b, k, g, n)
+            )
+        return _scan_jit[n](eng.bundle.params, eng.state, fstack, bgs, eng.knobs, gate)
+else:
+    def chain(n):
+        st = eng.state
+        for _ in range(n):
+            st, out = eng._step(eng.bundle.params, st, fp, bgs, eng.knobs, gate)
+        return st, out
 
 st, out = chain(2)
 _ = np.asarray(red(out["frame"]))
@@ -94,7 +144,11 @@ def main():
         code = _CHILD % {"root": ROOT, "base": BASE, "overrides": json.dumps(overrides)}
         r = subprocess.run(
             [sys.executable, "-u", "-c", code], capture_output=True, text=True,
-            timeout=3000, env=dict(os.environ, JAX_PLATFORMS=""),
+            timeout=3000,
+            env=dict(
+                os.environ,
+                JAX_PLATFORMS=os.environ.get("VST_CHILD_PLATFORM", ""),
+            ),
         )
         ms = None
         for line in r.stdout.splitlines():

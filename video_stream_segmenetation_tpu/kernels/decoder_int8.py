@@ -1,0 +1,128 @@
+"""Fused int8 decoder-level Pallas kernel (split_conv_up in one pass).
+
+The plan C/D/E int8 decoders compute, per level (models/quantized.py::
+split_conv_up):
+
+    out = requant( nearest_x2(small @ Wa * mult + bias) + skip @ Wb * mult )
+
+XLA executes this as two s8 convs plus an f32 broadcast/add/requant
+chain whose intermediates all materialize at the BIG resolution -- at
+the u1 level ([S,72,128,128]) that is ~1.2 GB of f32 HBM traffic and
+1.59 ms of the 3.4 ms trunk forward (tools/bench_trunk_layers.py,
+2026-08-17).  This kernel runs the whole level VMEM-resident, one
+program per stream: two int8 MXU matmuls, the x2 nearest upsample as a
+4-parity loop, and the relu6/127-lattice requant -- int8 in, int8 out,
+1 byte/elem of HBM traffic at each boundary.
+
+Layout trick: the skip input and the output ride in the
+parity-decomposed shape [S, sh, 2, sw, 2, C] (a zero-cost row-major
+reshape of [S, 2*sh, 2*sw, C] done by XLA outside the kernel), so the
+kernel's per-parity slices `ref[0, :, dy, :, dx, :]` are static
+mid-dimension indexing -- no strided vector ops for Mosaic to choke on.
+
+Numerics are bit-exact vs the XLA path: the matmuls accumulate in s32,
+and the f32 epilogue (mult, bias, add, clip, round) applies in the same
+order (tests/test_kernels.py::test_decoder_level_matches_xla).
+
+Role in the reference: part of the quantized flagship serving body
+(model_q4f16.onnx, client/src/core/main.ts:6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RELU6_SCALE = 127.0 / 6.0
+
+
+def _kernel(small_ref, skip_ref, wa_ref, wb_ref, mult_ref, bias_ref,
+            out_ref, *, sh, sw, ca, cb, cout):
+    """One stream's decoder level.
+
+    small_ref: [1, sh, sw, ca] int8; skip_ref: [1, sh, 2, sw, 2, cb] int8
+    (parity-decomposed big-res skip); wa: [ca, cout] int8;
+    wb: [cb, cout] int8; mult/bias: [1, cout] f32;
+    out_ref: [1, sh, 2, sw, 2, cout] int8.
+    """
+    mult = mult_ref[0]
+    bias = bias_ref[0]
+
+    a = small_ref[0].reshape(sh * sw, ca)
+    ya = jax.lax.dot_general(
+        a, wa_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    yaf = ya.astype(jnp.float32) * mult + bias  # [sh*sw, cout]
+
+    for dy in range(2):
+        for dx in range(2):
+            b = skip_ref[0, :, dy, :, dx, :].reshape(sh * sw, cb)
+            yb = jax.lax.dot_general(
+                b, wb_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = yaf + yb.astype(jnp.float32) * mult
+            q = jnp.round(jnp.clip(y, 0.0, 6.0) * RELU6_SCALE).astype(jnp.int8)
+            out_ref[0, :, dy, :, dx, :] = q.reshape(sh, sw, cout)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run(small, skip_pd, wa, wb, mult, bias, *, interpret):
+    s, sh, sw, ca = small.shape
+    cb = skip_pd.shape[-1]
+    cout = wa.shape[-1]
+    kern = functools.partial(
+        _kernel, sh=sh, sw=sw, ca=ca, cb=cb, cout=cout
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, sh, sw, ca), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, sh, 2, sw, 2, cb), lambda i: (i, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((ca, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, sh, 2, sw, 2, cout), lambda i: (i, 0, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((s, sh, 2, sw, 2, cout), jnp.int8),
+        interpret=interpret,
+    )(small, skip_pd, wa, wb, mult, bias)
+
+
+def fused_decoder_level(small, skip, layer, interpret=None):
+    """requant(nearest_x2(conv1x1_a(small)) + conv1x1_b(skip)) fused.
+
+    small: [S, sh, sw, Ca] int8; skip: [S, 2*sh, 2*sw, Cb] int8;
+    layer: {"wq": [1, 1, Ca+Cb, Cout] int8, "mult": [Cout] f32,
+    "bias": [Cout] f32} (models/quantized.py split layout: the first Ca
+    input channels are the up path).  Returns [S, 2*sh, 2*sw, Cout] int8.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, sh, sw, ca = small.shape
+    _, bh, bw, cb = skip.shape
+    if (bh, bw) != (2 * sh, 2 * sw):
+        raise ValueError(f"skip {skip.shape} is not the x2 of small {small.shape}")
+    wq = layer["wq"].reshape(ca + cb, -1)
+    wa, wb = wq[:ca], wq[ca:]
+    mult = layer["mult"].reshape(1, -1).astype(jnp.float32)
+    bias = layer["bias"].reshape(1, -1).astype(jnp.float32)
+    skip_pd = skip.reshape(s, sh, 2, sw, 2, cb)  # row-major no-op reshape
+    out_pd = _run(small, skip_pd, wa, wb, mult, bias, interpret=interpret)
+    return out_pd.reshape(s, bh, bw, -1)

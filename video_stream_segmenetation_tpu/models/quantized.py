@@ -234,7 +234,7 @@ class QuantizedMatteNetHD:
 
     def __init__(self, stem_stride: int, head_upsample: int,
                  num_classes: int = 1, decoder: str = "full",
-                 conv_impl: str = "xla"):
+                 conv_impl: str = "xla", decoder_impl: str = "xla"):
         self.stem_stride = stem_stride
         self.head_upsample = head_upsample
         self.num_classes = num_classes
@@ -243,6 +243,10 @@ class QuantizedMatteNetHD:
         # Pallas int8 kernel (kernels/conv_int8.py) -- int8 in/out, no
         # materialized f32 epilogue between layers
         self.conv_impl = conv_impl
+        # 'xla' | 'pallas': the 1x1 decoder levels through the fused
+        # VMEM-resident kernel (kernels/decoder_int8.py) -- removes the
+        # big-resolution f32 broadcast/add/requant intermediates
+        self.decoder_impl = decoder_impl
 
     def apply(self, q, x, train: bool = False):
         ss = self.stem_stride
@@ -310,6 +314,12 @@ class QuantizedMatteNetHD:
             5.7 ms trunk, tools/bench_trunk_layers.py 2026-08-17), is
             replaced by the same conv at 1/4 the pixels plus an f32
             broadcast fused into the add epilogue."""
+            if self.decoder_impl == "pallas":
+                from video_stream_segmenetation_tpu.kernels.decoder_int8 import (
+                    fused_decoder_level,
+                )
+
+                return fused_decoder_level(small, skip, layer)
             ca = small.shape[-1]
             la = {"wq": layer["wq"][:, :, :ca], "mult": layer["mult"],
                   "bias": layer["bias"]}

@@ -185,6 +185,7 @@ class Engine:
             num_classes=model.num_classes,
             decoder=getattr(model, "decoder", "full"),
             conv_impl=self.statics.int8_conv_impl,
+            decoder_impl=self.statics.int8_decoder_impl,
         )
 
     def load_face_params(self, face_path: str, lmk_path: str | None = None) -> None:
