@@ -14,15 +14,17 @@ program per stream: two int8 MXU matmuls, the x2 nearest upsample as a
 4-parity loop, and the relu6/127-lattice requant -- int8 in, int8 out,
 1 byte/elem of HBM traffic at each boundary.
 
-Layout trick: the skip input and the output ride in the
-parity-decomposed shape [S, sh, 2, sw, 2, C] (a zero-cost row-major
-reshape of [S, 2*sh, 2*sw, C] done by XLA outside the kernel), so the
-kernel's per-parity slices `ref[0, :, dy, :, dx, :]` are static
-mid-dimension indexing -- no strided vector ops for Mosaic to choke on.
+Layout trick (VMEM-tiling-safe): the big-res skip and output ride as
+``[S, sh, 2, sw, 2*C]`` -- a zero-cost row-major reshape of
+``[S, 2*sh, 2*sw, C]`` (row parity becomes a free leading dim; column
+parity folds into the LANE axis, so the per-parity views are contiguous
+lane slices ``[..., dx*C:(dx+1)*C]``).  A naive ``[.., 2, sw, 2, C]``
+block form puts a size-2 dim in the sublane slot and pads 16x,
+OOM-ing VMEM (observed: 27.5 MB for a 1.2 MB block).
 
 Numerics are bit-exact vs the XLA path: the matmuls accumulate in s32,
 and the f32 epilogue (mult, bias, add, clip, round) applies in the same
-order (tests/test_kernels.py::test_decoder_level_matches_xla).
+order (tests/test_kernels.py::test_decoder_level_fused_matches_xla).
 
 Role in the reference: part of the quantized flagship serving body
 (model_q4f16.onnx, client/src/core/main.ts:6).
@@ -44,10 +46,9 @@ def _kernel(small_ref, skip_ref, wa_ref, wb_ref, mult_ref, bias_ref,
             out_ref, *, sh, sw, ca, cb, cout):
     """One stream's decoder level.
 
-    small_ref: [1, sh, sw, ca] int8; skip_ref: [1, sh, 2, sw, 2, cb] int8
-    (parity-decomposed big-res skip); wa: [ca, cout] int8;
-    wb: [cb, cout] int8; mult/bias: [1, cout] f32;
-    out_ref: [1, sh, 2, sw, 2, cout] int8.
+    small_ref: [1, sh, sw, ca] int8; skip_ref: [1, sh, 2, sw, 2*cb] int8
+    (parity-folded big-res skip); wa: [ca, cout] int8; wb: [cb, cout]
+    int8; mult/bias: [1, cout] f32; out_ref: [1, sh, 2, sw, 2*cout] int8.
     """
     mult = mult_ref[0]
     bias = bias_ref[0]
@@ -60,21 +61,24 @@ def _kernel(small_ref, skip_ref, wa_ref, wb_ref, mult_ref, bias_ref,
     yaf = ya.astype(jnp.float32) * mult + bias  # [sh*sw, cout]
 
     for dy in range(2):
+        row = skip_ref[0, :, dy]  # [sh, sw, 2*cb]
         for dx in range(2):
-            b = skip_ref[0, :, dy, :, dx, :].reshape(sh * sw, cb)
+            b = row[..., dx * cb : (dx + 1) * cb].reshape(sh * sw, cb)
             yb = jax.lax.dot_general(
                 b, wb_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
             y = yaf + yb.astype(jnp.float32) * mult
             q = jnp.round(jnp.clip(y, 0.0, 6.0) * RELU6_SCALE).astype(jnp.int8)
-            out_ref[0, :, dy, :, dx, :] = q.reshape(sh, sw, cout)
+            out_ref[0, :, dy, :, dx * cout : (dx + 1) * cout] = q.reshape(
+                sh, sw, cout
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(small, skip_pd, wa, wb, mult, bias, *, interpret):
+def _run(small, skip_pf, wa, wb, mult, bias, *, interpret):
     s, sh, sw, ca = small.shape
-    cb = skip_pd.shape[-1]
+    cb = skip_pf.shape[-1] // 2
     cout = wa.shape[-1]
     kern = functools.partial(
         _kernel, sh=sh, sw=sw, ca=ca, cb=cb, cout=cout
@@ -88,7 +92,7 @@ def _run(small, skip_pd, wa, wb, mult, bias, *, interpret):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, sh, 2, sw, 2, cb), lambda i: (i, 0, 0, 0, 0, 0),
+                (1, sh, 2, sw, 2 * cb), lambda i: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((ca, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -97,12 +101,12 @@ def _run(small, skip_pd, wa, wb, mult, bias, *, interpret):
             pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, sh, 2, sw, 2, cout), lambda i: (i, 0, 0, 0, 0, 0),
+            (1, sh, 2, sw, 2 * cout), lambda i: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((s, sh, 2, sw, 2, cout), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((s, sh, 2, sw, 2 * cout), jnp.int8),
         interpret=interpret,
-    )(small, skip_pd, wa, wb, mult, bias)
+    )(small, skip_pf, wa, wb, mult, bias)
 
 
 def fused_decoder_level(small, skip, layer, interpret=None):
@@ -123,6 +127,6 @@ def fused_decoder_level(small, skip, layer, interpret=None):
     wa, wb = wq[:ca], wq[ca:]
     mult = layer["mult"].reshape(1, -1).astype(jnp.float32)
     bias = layer["bias"].reshape(1, -1).astype(jnp.float32)
-    skip_pd = skip.reshape(s, sh, 2, sw, 2, cb)  # row-major no-op reshape
-    out_pd = _run(small, skip_pd, wa, wb, mult, bias, interpret=interpret)
-    return out_pd.reshape(s, bh, bw, -1)
+    skip_pf = skip.reshape(s, sh, 2, sw, 2 * cb)  # row-major no-op reshape
+    out_pf = _run(small, skip_pf, wa, wb, mult, bias, interpret=interpret)
+    return out_pf.reshape(s, bh, bw, -1)
