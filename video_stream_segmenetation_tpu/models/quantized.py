@@ -234,7 +234,7 @@ class QuantizedMatteNetHD:
 
     def __init__(self, stem_stride: int, head_upsample: int,
                  num_classes: int = 1, decoder: str = "full",
-                 conv_impl: str = "xla", decoder_impl: str = "xla"):
+                 conv_impl: str = "xla", decoder_impl: str = "auto"):
         self.stem_stride = stem_stride
         self.head_upsample = head_upsample
         self.num_classes = num_classes
@@ -314,7 +314,10 @@ class QuantizedMatteNetHD:
             5.7 ms trunk, tools/bench_trunk_layers.py 2026-08-17), is
             replaced by the same conv at 1/4 the pixels plus an f32
             broadcast fused into the add epilogue."""
-            if self.decoder_impl == "pallas":
+            impl = self.decoder_impl
+            if impl == "auto":
+                impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            if impl == "pallas":
                 from video_stream_segmenetation_tpu.kernels.decoder_int8 import (
                     fused_decoder_level,
                 )

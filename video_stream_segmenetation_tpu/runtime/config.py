@@ -184,10 +184,11 @@ class PipelineStatics:
     # (kernels/conv_int8.py fused conv+dequant+relu6+requant -- int8
     # in/out, no f32 epilogue materialized between layers)
     int8_conv_impl: str = "xla"
-    # 1x1 decoder-level lowering: 'xla' or 'pallas'
-    # (kernels/decoder_int8.py: both split matmuls + x2 nearest upsample
-    # + requant VMEM-resident per stream -- no big-res f32 intermediates)
-    int8_decoder_impl: str = "xla"
+    # 1x1 decoder-level lowering: 'auto' (= 'pallas' on TPU, 'xla'
+    # elsewhere), 'xla', or 'pallas' (kernels/decoder_int8.py: both split
+    # matmuls + x2 nearest upsample + requant VMEM-resident per stream --
+    # no big-res f32 intermediates; -1.2 ms on the S=64 nano step)
+    int8_decoder_impl: str = "auto"
     # MatteNetHD decoder plan ('full' = plan B; 'light' = plan C lite
     # trunk, ~43% fewer FLOPs with edge detail delegated to the guided
     # refine stage -- see models/mattenet_hd.py)
