@@ -163,9 +163,16 @@ def alpha_composite_s2d(
     costs ~27 ms/64-stream batch in XLA byte shuffling, while this
     formulation needs only matmuls and lane-sliced elementwise math:
 
-      B     = alpha @ Aw^T                        [S, mh, FW]   (1 matmul)
-      a_dy  = Ah[dy::b] @ B                       [S, HP, FW]   (b matmuls)
+      C     = Ah_dymajor @ alpha                  [S, b*HP, mw]  (1 matmul)
+      a_dy  = C[:, dy*HP:(dy+1)*HP] @ Aw^T        [S, HP, FW]    (b matmuls)
       out[..., 3*b*dy + 3*dx + c] = a_dy * frame + (1-a_dy) * bg  (fused)
+
+    Pass order matters for HBM traffic: the b per-dy matmuls re-read their
+    stationary operand b times, so the hoisted single pass must be the one
+    whose output is SMALL per dy.  H-pass-first makes each per-dy read a
+    ``[S, HP, mw]`` slice (4.7 MB at S=64), where the older W-pass-first
+    form re-read the full ``[S, mh, FW]`` bmat (47 MB) in every dy matmul
+    -- ~0.4 GB/step of extra reads (measured 1.96 -> see RESULTS.md).
 
     frame_p/bg_p: ``[S, H/b, W/b, b*b*3]`` uint8.  alpha: ``[S, mh, mw]``.
     Returns the packed uint8 composite (the native output stage unpacks
@@ -181,19 +188,28 @@ def alpha_composite_s2d(
 
     a_h = _interp_matrix(fh, alpha.shape[-2], method)  # [fh, mh]
     a_w = jnp.asarray(_interp_matrix(fw, alpha.shape[-1], method), dt)  # [fw, mw]
-    bmat = jnp.einsum(
-        "xw,smw->smx", a_w, alpha.astype(dt), precision=prec
-    )  # [S, mh, fw]
+    # dy-major row stacking: hstack[dy*hp + i] = a_h[i*b + dy]
+    hstack = jnp.asarray(
+        np.ascontiguousarray(
+            np.asarray(a_h).reshape(hp, b, -1).transpose(1, 0, 2)
+        ).reshape(b * hp, -1),
+        dt,
+    )
+    cmat = jnp.einsum(
+        "im,smw->siw", hstack, alpha.astype(dt), precision=prec
+    )  # [S, b*hp, mw]
 
     # NOTE: the b per-dy matmuls are deliberate.  A single stacked
-    # [b*hp, mh] vertical matmul reads bmat once -- but its [S, fh, fw]
-    # output MATERIALIZES (236 MB f32 at S=64), where the per-dy form
-    # fuses each a_dy straight into the blend epilogue; measured 3.86 vs
-    # 2.10 ms for the composite at S=64 (2026-08-17 tail dissection).
+    # [b*hp, mh] @ [mh, fw] matmul would read its inputs once -- but its
+    # [S, fh, fw] output MATERIALIZES (236 MB f32 at S=64), where the
+    # per-dy form fuses each a_dy straight into the blend epilogue;
+    # measured 3.86 vs 2.10 ms for the composite at S=64 (2026-08-17).
     out_slices = []
     for dy in range(b):
-        v = jnp.asarray(a_h[dy::b], dt)  # [hp, mh]
-        a_dy = jnp.einsum("im,smx->six", v, bmat, precision=prec)
+        a_dy = jnp.einsum(
+            "siw,xw->six", cmat[:, dy * hp : (dy + 1) * hp], a_w,
+            precision=prec,
+        )
         a_dy = jnp.clip(a_dy.astype(jnp.float32), 0.0, 1.0)
         s = a_dy.shape[0]
         a3 = jnp.broadcast_to(
@@ -341,9 +357,13 @@ def multiclass_composite_s2d(
     # alpha_composite_s2d.)
     a_h_perm = np.concatenate([a_h[dy::b] for dy in range(b)], axis=0)
 
-    # scalar w_f plane: plain separable upsample (W pass; per-dy H pass
-    # fused into the blend below)
-    bmat_f = jnp.einsum("xw,smw->smx", a_w_m, w_f.astype(dt), precision=prec)
+    # scalar w_f plane: H pass first (dy-major rows), so each per-dy W
+    # matmul below reads only its own [S, hp, mw] slice -- see the
+    # traffic note in alpha_composite_s2d
+    cmat_f = jnp.einsum(
+        "rm,smw->srw", jnp.asarray(a_h_perm, dt), w_f.astype(dt),
+        precision=prec,
+    )                                                         # [S, b*hp, mw]
 
     # RGB field, H-pass FIRST with the channels concatenated on the lane
     # axis c-major ([S, mh, 3*mw] -- a cheap planar concat, never a
@@ -366,9 +386,9 @@ def multiclass_composite_s2d(
 
     out_slices = []
     for dy in range(b):
-        v = jnp.asarray(a_h[dy::b], dt)                       # [hp, mh]
         wf_sl = jnp.einsum(
-            "im,smx->six", v, bmat_f, precision=prec
+            "siw,xw->six", cmat_f[:, dy * hp : (dy + 1) * hp], a_w_m,
+            precision=prec,
         ).astype(jnp.float32)                                 # [S, hp, fw]
         r_sl = jnp.einsum(
             "Xq,siq->siX", kron, hmat_r[:, dy * hp : (dy + 1) * hp],
