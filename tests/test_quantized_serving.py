@@ -42,6 +42,30 @@ def test_int8_matches_bf16(hd_b, rng):
     assert np.max(np.abs(got - ref)) < 0.25
 
 
+def test_int8_stem_matches_bf16_stem(hd_b, rng):
+    """stem_impl='int8' (x-128 shift + s8 matmul): per-output-channel
+    weight quantization is the same relative-error class as the bf16
+    stem, so the matte must track the bf16-stem int8 graph closely."""
+    model, params = hd_b
+    u8 = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    packed = ops.space_to_depth(u8, BLK)
+    q = quantize_mattenet_hd(model, params)
+    a_bf = np.asarray(
+        jax.jit(QuantizedMatteNetHD(stem_stride=BLK, head_upsample=4).apply)(
+            q, packed
+        )["alpha"]
+    )
+    a_i8 = np.asarray(
+        jax.jit(
+            QuantizedMatteNetHD(
+                stem_stride=BLK, head_upsample=4, stem_impl="int8"
+            ).apply
+        )(q, packed)["alpha"]
+    )
+    assert np.mean(np.abs(a_i8 - a_bf)) < 0.02
+    assert np.max(np.abs(a_i8 - a_bf)) < 0.25
+
+
 def test_int8_accepts_natural_input(hd_b, rng):
     model, params = hd_b
     u8 = jnp.asarray((rng.random((1, *FRAME_HW, 3)) * 255).astype(np.uint8))

@@ -31,7 +31,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PRESET = sys.argv[1] if len(sys.argv) > 1 else "fast_int8_nano"
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
-MODES = ["fixed", "rotating", "stepio"]
+MODES = ["fixed", "rotating", "stepio", "xladec"]
 if len(sys.argv) > 3:
     MODES = sys.argv[3].split(",")
 
@@ -59,8 +59,11 @@ model = models.MatteNetHD(
 params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, fh, fw, 3)))
 qp = Q.quantize_mattenet_hd(model, params)
 serving = Q.QuantizedMatteNetHD(
-    stem_stride=ss, head_upsample=uf, decoder=statics.matting_decoder
+    stem_stride=ss, head_upsample=uf, decoder=statics.matting_decoder,
+    decoder_impl="xla" if MODE == "xladec" else "auto",
 )
+if MODE == "xladec":
+    MODE = "rotating"
 
 key = jax.random.PRNGKey(0)
 hp, wp = fh // ss, fw // ss
@@ -69,7 +72,71 @@ mk = lambda k, lead: (
     jax.random.uniform(k, lead + (hp, wp, ss * ss * 3)) * 255
 ).astype(jnp.uint8)
 
-if MODE == "fixed":
+if MODE == "rotfwd":
+    # rotating input + the per-layer ladder's hand-rolled forward
+    # (bench_trunk_layers.py fwd, STOP='full'): isolates harness effects
+    # from serving.apply-graph effects
+    def fwd(q, x):
+        y = x.astype(jnp.bfloat16) @ q["stem_w"]
+        x0 = Q._requant(y.astype(jnp.float32) + q["stem_b"])
+        d2 = Q._requant(Q._conv_i8(x0, q["d2dn"], strides=(2, 2)))
+        d2 = Q._qconv(d2, q["d2b"])
+        d3 = Q._requant(Q._conv_i8(d2, q["d3dn"], strides=(2, 2)))
+        d3 = Q._qconv(d3, q["d3b"])
+        c3 = Q._conv_i8(d3, q["ctx"], dilation=(3, 3))
+        ctx_f = jax.nn.relu6(c3 + d3.astype(jnp.float32) * Q.ACT_SCALE)
+        ctx_f = Q._se_f32(ctx_f, q["ctxse/Dense_0"], q["ctxse/Dense_1"])
+        ctx = jnp.round(
+            jnp.clip(ctx_f, 0.0, 6.0) * (127.0 / 6.0)
+        ).astype(jnp.int8)
+
+        def split_conv_up(small, skip, layer):
+            ca = small.shape[-1]
+            la = {"wq": layer["wq"][:, :, :ca], "mult": layer["mult"],
+                  "bias": layer["bias"]}
+            lb = {"wq": layer["wq"][:, :, ca:], "mult": layer["mult"],
+                  "bias": jnp.zeros_like(layer["bias"])}
+            ya = Q._nearest_x2(Q._conv_i8(small, la))[
+                ..., : skip.shape[-3], : skip.shape[-2], :
+            ]
+            return Q._requant(ya + Q._conv_i8(skip, lb))
+
+        u2 = split_conv_up(ctx, d2, q["u2red"])
+        u1 = split_conv_up(u2, x0, q["u1red"])
+        u1f = u1.astype(jnp.bfloat16) * jnp.bfloat16(Q.ACT_SCALE)
+        alpha_logit = (
+            jax.lax.conv_general_dilated(
+                u1f, q["alpha"]["kernel"].astype(jnp.bfloat16), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + q["alpha"]["bias"].astype(jnp.bfloat16)
+        )
+        from video_stream_segmenetation_tpu.ops.resize import (
+            resize_bilinear_mxu,
+        )
+
+        h0, w0 = alpha_logit.shape[-3], alpha_logit.shape[-2]
+        al = resize_bilinear_mxu(
+            alpha_logit[..., 0].astype(jnp.float32), (uf * h0, uf * w0),
+            method="half_pixel", channel_last=False,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return jax.nn.sigmoid(al)
+
+    stack = jax.jit(lambda k: mk(k, (NBUF, S)))(key)
+
+    @jax.jit
+    def chain_n(q, stack, eps):
+        def body(e, i):
+            f = jax.lax.dynamic_index_in_dim(stack, i %% NBUF, 0, keepdims=False)
+            a = fwd(q, f)
+            return e + jnp.sum(a, dtype=jnp.float32) * 0.0, None
+
+        e, _ = jax.lax.scan(body, eps, jnp.arange(N, dtype=jnp.int32))
+        return e
+
+    args = (qp, stack, jnp.float32(0.0))
+elif MODE == "fixed":
     x = jax.jit(lambda k: mk(k, (S,)))(key)
 
     @jax.jit

@@ -154,10 +154,21 @@ def quantize_mattenet_hd(model, params):
         np.asarray(bst["mean"], np.float64), np.asarray(bst["var"], np.float64),
     )
     ss = model.stem_stride
-    q["stem_w"] = jnp.asarray(
-        (w.reshape(ss * ss * 3, -1) / 255.0).astype(np.float32)
-    ).astype(jnp.bfloat16)
+    wm = w.reshape(ss * ss * 3, -1) / 255.0  # applied to u8-scale input
+    q["stem_w"] = jnp.asarray(wm.astype(np.float32)).astype(jnp.bfloat16)
     q["stem_b"] = jnp.asarray(b.astype(np.float32))
+    # int8 stem variant (stem_impl='int8'): the uint8 input shifts to s8
+    # via x - 128 (a free xor+bitcast), the matmul runs on the MXU s8
+    # path, and the +128 shift folds into the bias:
+    #   x @ W == (x - 128) @ (Wq * sw) + 128 * colsum(Wq) * sw
+    amax = np.maximum(np.abs(wm).max(axis=0), 1e-12)
+    sw = amax / 127.0
+    wq8 = np.clip(np.round(wm / sw[None, :]), -127, 127).astype(np.int8)
+    q["stem_wq"] = jnp.asarray(wq8)
+    q["stem_mult"] = jnp.asarray(sw.astype(np.float32))
+    q["stem_b2"] = jnp.asarray(
+        (b + 128.0 * sw * wq8.astype(np.float64).sum(axis=0)).astype(np.float32)
+    )
 
     def cb(name, path):
         q[name] = _qconvbn(p, path, st, ACT_SCALE)
@@ -234,7 +245,8 @@ class QuantizedMatteNetHD:
 
     def __init__(self, stem_stride: int, head_upsample: int,
                  num_classes: int = 1, decoder: str = "full",
-                 conv_impl: str = "xla", decoder_impl: str = "auto"):
+                 conv_impl: str = "xla", decoder_impl: str = "auto",
+                 stem_impl: str = "bf16"):
         self.stem_stride = stem_stride
         self.head_upsample = head_upsample
         self.num_classes = num_classes
@@ -247,6 +259,12 @@ class QuantizedMatteNetHD:
         # VMEM-resident kernel (kernels/decoder_int8.py) -- removes the
         # big-resolution f32 broadcast/add/requant intermediates
         self.decoder_impl = decoder_impl
+        # 'bf16' | 'int8': the patch-matmul stem.  'int8' shifts the
+        # uint8 input to s8 (x - 128 = xor 128 + bitcast, folds the
+        # shift into the bias) and contracts on the MXU s8 path --
+        # no bf16 input cast ever materializes.  Weight quantization is
+        # per-output-channel (same relative error class as bf16 weights)
+        self.stem_impl = stem_impl
 
     def apply(self, q, x, train: bool = False):
         ss = self.stem_stride
@@ -256,9 +274,19 @@ class QuantizedMatteNetHD:
             if x.dtype != jnp.uint8:
                 x = jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
             x = space_to_depth(x, ss)
-        # stem: bf16 patch matmul + folded BN -> relu6 lattice
-        y = x.astype(jnp.bfloat16) @ q["stem_w"]
-        x0 = _requant(y.astype(jnp.float32) + q["stem_b"])
+        # stem: patch matmul + folded BN -> relu6 lattice
+        if self.stem_impl == "int8" and x.dtype == jnp.uint8 and "stem_wq" in q:
+            xs = jax.lax.bitcast_convert_type(x ^ jnp.uint8(128), jnp.int8)
+            y = jax.lax.dot_general(
+                xs, q["stem_wq"], (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            x0 = _requant(
+                y.astype(jnp.float32) * q["stem_mult"] + q["stem_b2"]
+            )
+        else:
+            y = x.astype(jnp.bfloat16) @ q["stem_w"]
+            x0 = _requant(y.astype(jnp.float32) + q["stem_b"])
 
         ci = self.conv_impl
         if self.decoder in ("micro", "nano"):

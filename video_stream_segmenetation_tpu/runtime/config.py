@@ -189,6 +189,10 @@ class PipelineStatics:
     # matmuls + x2 nearest upsample + requant VMEM-resident per stream --
     # no big-res f32 intermediates; -1.2 ms on the S=64 nano step)
     int8_decoder_impl: str = "auto"
+    # int8 graph stem lowering: 'bf16' (u8 -> bf16 cast + bf16 patch
+    # matmul) or 'int8' (x - 128 shift folded into the bias, MXU s8
+    # matmul; per-output-channel int8 stem weights)
+    int8_stem_impl: str = "bf16"
     # MatteNetHD decoder plan ('full' = plan B; 'light' = plan C lite
     # trunk, ~43% fewer FLOPs with edge detail delegated to the guided
     # refine stage -- see models/mattenet_hd.py)

@@ -186,6 +186,7 @@ class Engine:
             decoder=getattr(model, "decoder", "full"),
             conv_impl=self.statics.int8_conv_impl,
             decoder_impl=self.statics.int8_decoder_impl,
+            stem_impl=self.statics.int8_stem_impl,
         )
 
     def load_face_params(self, face_path: str, lmk_path: str | None = None) -> None:
