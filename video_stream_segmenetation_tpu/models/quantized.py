@@ -233,6 +233,17 @@ def quantize_mattenet_hd(model, params):
             "kernel": jnp.asarray(p[cv]["kernel"], jnp.float32),
             "bias": jnp.asarray(p[cv]["bias"], jnp.float32),
         }
+    # int8 head variants (head_impl='int8'): the alpha/det heads read u1
+    # as int8 directly, so the [S,72,128,C] bf16 dequant view (u1f) never
+    # materializes (144 MB at S=64; HLO census tools/inspect_trunk_hlo.py)
+    for name, cv in (("det_q", "Conv_1"), ("alpha_q", "Conv_2")):
+        ka = np.asarray(p[cv]["kernel"], np.float64)  # [kh,kw,C,K]
+        wq, sw = _quant_w(ka)
+        q[name] = {
+            "wq": jnp.asarray(wq),
+            "mult": jnp.asarray((ACT_SCALE * sw).astype(np.float32)),
+            "bias": jnp.asarray(np.asarray(p[cv]["bias"], np.float32)),
+        }
     return q
 
 
@@ -246,7 +257,7 @@ class QuantizedMatteNetHD:
     def __init__(self, stem_stride: int, head_upsample: int,
                  num_classes: int = 1, decoder: str = "full",
                  conv_impl: str = "xla", decoder_impl: str = "auto",
-                 stem_impl: str = "bf16"):
+                 stem_impl: str = "bf16", head_impl: str = "int8"):
         self.stem_stride = stem_stride
         self.head_upsample = head_upsample
         self.num_classes = num_classes
@@ -265,6 +276,10 @@ class QuantizedMatteNetHD:
         # no bf16 input cast ever materializes.  Weight quantization is
         # per-output-channel (same relative error class as bf16 weights)
         self.stem_impl = stem_impl
+        # 'bf16' | 'int8': the alpha/det heads.  'int8' convolves the s8
+        # u1 activation directly (per-output-channel s8 head weights, f32
+        # logits out) -- the 144 MB bf16 dequant of u1 never materializes
+        self.head_impl = head_impl
 
     def apply(self, q, x, train: bool = False):
         ss = self.stem_stride
@@ -377,18 +392,22 @@ class QuantizedMatteNetHD:
             u1 = _nearest_x2(u2)[..., : b1.shape[-3], : b1.shape[-2], :]
             u1 = split_conv(u1, b1, q["u1"])
 
-        u1f = u1.astype(jnp.bfloat16) * jnp.bfloat16(ACT_SCALE)
-        det_logit = u1f @ q["det"]["kernel"][0, 0].astype(jnp.bfloat16) + q[
-            "det"
-        ]["bias"].astype(jnp.bfloat16)
-        alpha_logit = (
-            jax.lax.conv_general_dilated(
-                u1f,
-                q["alpha"]["kernel"].astype(jnp.bfloat16),
-                (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        if self.head_impl == "int8" and "alpha_q" in q:
+            det_logit = _conv_i8(u1, q["det_q"])
+            alpha_logit = _conv_i8(u1, q["alpha_q"])
+        else:
+            u1f = u1.astype(jnp.bfloat16) * jnp.bfloat16(ACT_SCALE)
+            det_logit = u1f @ q["det"]["kernel"][0, 0].astype(jnp.bfloat16) + q[
+                "det"
+            ]["bias"].astype(jnp.bfloat16)
+            alpha_logit = (
+                jax.lax.conv_general_dilated(
+                    u1f,
+                    q["alpha"]["kernel"].astype(jnp.bfloat16),
+                    (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                + q["alpha"]["bias"].astype(jnp.bfloat16)
             )
-            + q["alpha"]["bias"].astype(jnp.bfloat16)
-        )
 
         from video_stream_segmenetation_tpu.ops.resize import resize_bilinear_mxu
 

@@ -193,6 +193,10 @@ class PipelineStatics:
     # matmul) or 'int8' (x - 128 shift folded into the bias, MXU s8
     # matmul; per-output-channel int8 stem weights)
     int8_stem_impl: str = "bf16"
+    # int8 graph alpha/det head lowering: 'int8' (s8 conv on u1 directly,
+    # f32 logits; the bf16 u1 dequant never materializes -- 144 MB at
+    # S=64) or 'bf16' (dequant + bf16 conv)
+    int8_head_impl: str = "int8"
     # MatteNetHD decoder plan ('full' = plan B; 'light' = plan C lite
     # trunk, ~43% fewer FLOPs with edge detail delegated to the guided
     # refine stage -- see models/mattenet_hd.py)

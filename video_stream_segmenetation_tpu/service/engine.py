@@ -187,6 +187,7 @@ class Engine:
             conv_impl=self.statics.int8_conv_impl,
             decoder_impl=self.statics.int8_decoder_impl,
             stem_impl=self.statics.int8_stem_impl,
+            head_impl=self.statics.int8_head_impl,
         )
 
     def load_face_params(self, face_path: str, lmk_path: str | None = None) -> None:
