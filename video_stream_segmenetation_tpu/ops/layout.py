@@ -152,6 +152,7 @@ def alpha_composite_s2d(
     block: int,
     method: Method = "half_pixel",
     precision=None,
+    impl: str = "per_dy",
 ) -> jnp.ndarray:
     """Upsample + composite entirely in the packed layout -- no transposes.
 
@@ -204,6 +205,40 @@ def alpha_composite_s2d(
     # [S, fh, fw] output MATERIALIZES (236 MB f32 at S=64), where the
     # per-dy form fuses each a_dy straight into the blend epilogue;
     # measured 3.86 vs 2.10 ms for the composite at S=64 (2026-08-17).
+    #
+    # impl='dot30' (the TPU default via PipelineStatics): the per-dy
+    # 'per_dy' form still pays a hidden relayout tax -- its [S, hp, fw]
+    # matmul output must be re-split into (wp, b) lanes and broadcast
+    # over c, and XLA materializes that as f32 copies (~700 MB/step at
+    # S=64; tools/inspect_step_hlo.py census: 10x f32[64,72,1280]
+    # fusion+copy + 10x relayout copy).  dot30 instead bakes the (j,dx)
+    # packing AND the c-triplication into the weight matrix, so the dot
+    # emits the blend-ready [S, hp, wp, 3b] tensor directly and the u8
+    # blend fuses as the dot's epilogue -- 3x the MACs, zero relayout.
+    if impl == "dot30":
+        # aw30[j, 3*dx+c, w] = a_w[j*b+dx, w]
+        aw30 = jnp.broadcast_to(
+            a_w.reshape(wp, b, 1, -1), (wp, b, 3, a_w.shape[-1])
+        ).reshape(wp, 3 * b, -1)
+        out_slices = []
+        for dy in range(b):
+            a3 = jnp.einsum(
+                "siw,jlw->sijl", cmat[:, dy * hp : (dy + 1) * hp], aw30,
+                precision=prec,
+            )
+            a3 = jnp.clip(a3.astype(jnp.float32), 0.0, 1.0)
+            f_sl = frame_p[..., 3 * b * dy : 3 * b * (dy + 1)].astype(
+                jnp.float32
+            )
+            bg_sl = bg_p[..., 3 * b * dy : 3 * b * (dy + 1)].astype(
+                jnp.float32
+            )
+            blend = f_sl * a3 + bg_sl * (1.0 - a3)
+            out_slices.append(
+                jnp.clip(jnp.floor(blend + 0.5), 0, 255).astype(jnp.uint8)
+            )
+        return jnp.concatenate(out_slices, axis=-1)
+
     out_slices = []
     for dy in range(b):
         a_dy = jnp.einsum(

@@ -197,6 +197,13 @@ class PipelineStatics:
     # f32 logits; the bf16 u1 dequant never materializes -- 144 MB at
     # S=64) or 'bf16' (dequant + bf16 conv)
     int8_head_impl: str = "int8"
+    # packed-composite lowering (ops/layout.py::alpha_composite_s2d):
+    # 'per_dy' (b per-dy matmuls; XLA pays ~700 MB/step of f32 relayout
+    # copies re-packing each [S,hp,fw] output into (wp,b,c) lanes) or
+    # 'dot30' (the (j,dx) packing + c-triplication baked into the weight
+    # matrix so the blend fuses as the dot epilogue; 3x MACs, zero
+    # relayout -- in-context step 8.97 -> 8.13 ms at S=64, the default)
+    s2d_composite_impl: str = "dot30"
     # MatteNetHD decoder plan ('full' = plan B; 'light' = plan C lite
     # trunk, ~43% fewer FLOPs with edge detail delegated to the guided
     # refine stage -- see models/mattenet_hd.py)

@@ -640,6 +640,7 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             out_u8 = ops.alpha_composite_s2d(
                 frames_u8, a, bg_p, (fh, fw), blk,
                 method=statics.upsample_method, precision=prec,
+                impl=statics.s2d_composite_impl,
             )
         elif use_fc:
             if statics.background == "color":
