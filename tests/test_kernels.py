@@ -148,3 +148,60 @@ def test_decoder_level_fused_matches_xla(rng):
 
     got = np.asarray(fused_decoder_level(small, skip, layer, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_nano_trunk_megakernel_matches_xla(rng):
+    """Whole-trunk megakernel (kernels/trunk_int8.py) == the XLA d2dn..
+    u1red chain bit-exactly (interpret mode), via both the raw kernel
+    and the QuantizedMatteNetHD decoder_impl='trunk' route."""
+    import jax
+
+    from video_stream_segmenetation_tpu import models
+    from video_stream_segmenetation_tpu.kernels.trunk_int8 import (
+        fused_nano_trunk,
+    )
+    from video_stream_segmenetation_tpu.models import quantized as Q
+
+    fh, fw, ss = 240, 320, 10  # x0 24x32 (divisible by 4)
+    model = models.MatteNetHD(stem_stride=ss, head_upsample=4, decoder="nano")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, fh, fw, 3)))
+    q = Q.quantize_mattenet_hd(model, params)
+    x = jnp.asarray(
+        rng.integers(0, 255, (2, fh // ss, fw // ss, ss * ss * 3)).astype(
+            np.uint8
+        )
+    )
+
+    y = x.astype(jnp.bfloat16) @ q["stem_w"]
+    x0 = Q._requant(y.astype(jnp.float32) + q["stem_b"])
+    d2 = Q._requant(Q._conv_i8(x0, q["d2dn"], strides=(2, 2)))
+    d2 = Q._qconv(d2, q["d2b"])
+    d3 = Q._requant(Q._conv_i8(d2, q["d3dn"], strides=(2, 2)))
+    d3 = Q._qconv(d3, q["d3b"])
+    c3 = Q._conv_i8(d3, q["ctx"], dilation=(3, 3))
+    ctx_f = jax.nn.relu6(c3 + d3.astype(jnp.float32) * Q.ACT_SCALE)
+    ctx_f = Q._se_f32(ctx_f, q["ctxse/Dense_0"], q["ctxse/Dense_1"])
+    ctx = jnp.round(jnp.clip(ctx_f, 0.0, 6.0) * (127.0 / 6.0)).astype(jnp.int8)
+
+    def scu(small, skip, layer):
+        ca = small.shape[-1]
+        la = {"wq": layer["wq"][:, :, :ca], "mult": layer["mult"],
+              "bias": layer["bias"]}
+        lb = {"wq": layer["wq"][:, :, ca:], "mult": layer["mult"],
+              "bias": jnp.zeros_like(layer["bias"])}
+        ya = Q._nearest_x2(Q._conv_i8(small, la))[
+            ..., : skip.shape[-3], : skip.shape[-2], :
+        ]
+        return Q._requant(ya + Q._conv_i8(skip, lb))
+
+    u1_ref = np.asarray(scu(scu(ctx, d2, q["u2red"]), x0, q["u1red"]))
+    u1_got = np.asarray(fused_nano_trunk(x0, q, interpret=True))
+    np.testing.assert_array_equal(u1_got, u1_ref)
+
+    a_xla = Q.QuantizedMatteNetHD(ss, 4, decoder="nano", decoder_impl="xla")
+    a_trk = Q.QuantizedMatteNetHD(ss, 4, decoder="nano", decoder_impl="trunk")
+    d = np.abs(
+        np.asarray(a_xla.apply(q, x)["alpha"])
+        - np.asarray(a_trk.apply(q, x)["alpha"])
+    )
+    assert d.max() < 1e-6

@@ -81,6 +81,26 @@ def test_alpha_composite_s2d_matches_natural(rng):
     assert d.max() <= 1  # f32-vs-f32, only u8 rounding boundaries differ
 
 
+def test_alpha_composite_s2d_dot30_matches_per_dy(rng):
+    """The dot30 lowering (blend fused as the dot epilogue, the TPU
+    serving default) is bit-identical to the per_dy reference form at
+    both precisions."""
+    import jax.numpy as jnp
+
+    frames = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    bg = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    alpha = jnp.asarray(rng.random((2, *MASK_HW)).astype(np.float32))
+    fp, bp = ops.space_to_depth(frames, BLK), ops.space_to_depth(bg, BLK)
+    for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):
+        ref = np.asarray(ops.alpha_composite_s2d(
+            fp, alpha, bp, FRAME_HW, BLK, precision=prec, impl="per_dy"
+        ))
+        got = np.asarray(ops.alpha_composite_s2d(
+            fp, alpha, bp, FRAME_HW, BLK, precision=prec, impl="dot30"
+        ))
+        np.testing.assert_array_equal(got, ref)
+
+
 @pytest.fixture(scope="module")
 def hd():
     model = models.MatteNetHD(width=0.5)

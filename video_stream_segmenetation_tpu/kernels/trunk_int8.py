@@ -1,0 +1,267 @@
+"""Fused int8 nano-trunk Pallas megakernel (everything between the stem
+and the heads, one VMEM-resident pass per stream).
+
+Motivation (tools/inspect_step_hlo.py census + HLO layout dump): XLA
+lowers the trunk's s8 convs with an exotic {3,0,2,1} activation layout,
+while Pallas custom-calls require default {3,2,1,0} layouts -- so every
+XLA-conv <-> kernel boundary pays an s8 relayout copy (27 MB for the d2
+skip, 72 MB for u1 into the heads), the d3-level conv epilogues
+materialize 3x 37.7 MB s32 accumulators, and each custom-call is a
+scheduling barrier.  Running the WHOLE decoder stack (d2dn -> d2b ->
+d3dn -> d3b -> ctx -> SE -> u2red -> u1red) inside one kernel leaves a
+single boundary on each side: the stem output (default layout, zero
+copy) in, u1 out.
+
+Layout strategy (every op here is Mosaic-probe-verified on v5e):
+no strided value slicing exists in Mosaic, so stride-2 convs consume
+QUAD-PARITY-FOLDED activations instead -- x0 rides as
+``[18, 4, 32, 4*128]`` (a FREE row-major reshape of ``[72, 128, 128]``:
+row%4 becomes an outer dim, col%4 folds into lanes).  Then:
+
+* d2dn (stride 2, 3x3): each 36x64-grid output parity (py,px) reads 9
+  taps, each a shift-padded lane-slice plane of x0 -- 36 small MXU dots.
+* d2b (stride 1 on the 36x64 grid, parity form): the standard
+  parity-conv routing -- tap (r,s) for output parity (dy,dx) sources
+  plane ((dy+r-1)&1, (dx+s-1)&1) shifted by ((dy+r-1)>>1, ...).
+* d3dn (stride 2 -> NATURAL 18x32): input rows 2i+r on the 36-grid are
+  parity plane (r&1) at block i+(r>>1) -- no striding needed.
+* d3b / ctx(dil 3) / SE: natural 18x32 ops.
+* u2red/u1red (x2-upsample split convs): 1x1 convs commute with any
+  pixel partition, so u2 STAYS in parity planes and u1 emerges as 16
+  quad planes == the quad-folded output ``[18, 4, 32, 4*128]`` (a free
+  reshape back to ``[72, 128, 128]`` outside).
+
+Numerics are exact vs the XLA path (models/quantized.py) except inside
+SE, where the f32 mean's accumulation order differs (worst case one
+6/127-lattice step on values at a rounding knife edge); the parity test
+pins alpha agreement (tests/test_kernels.py).
+
+Role in the reference: the quantized flagship serving body
+(model_q4f16.onnx, client/src/core/main.ts:6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RELU6_SCALE = 127.0 / 6.0
+ACT_SCALE = 6.0 / 127.0
+
+
+def _shift2(x, oy, ox):
+    """out[i, j] = x[i + oy, j + ox], zero outside (SAME conv padding).
+
+    x: [H, W, C]; oy/ox static ints.  Implemented as pad + slice (the
+    only shift Mosaic supports); outer-dim (H) and sublane (W) only.
+    """
+    h, w = x.shape[0], x.shape[1]
+    if oy:
+        x = jnp.pad(x, ((max(-oy, 0), max(oy, 0)), (0, 0), (0, 0)))[
+            max(oy, 0) : max(oy, 0) + h
+        ]
+    if ox:
+        x = jnp.pad(x, ((0, 0), (max(-ox, 0), max(ox, 0)), (0, 0)))[
+            :, max(ox, 0) : max(ox, 0) + w
+        ]
+    return x
+
+
+def _dot_i8(x, w):
+    """[M, K] s8 @ [K, N] s8 -> [M, N] i32 (exact, MXU s8 path)."""
+    return jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def _requant(y):
+    return jnp.round(jnp.clip(y, 0.0, 6.0) * RELU6_SCALE).astype(jnp.int8)
+
+
+def _kernel(x0_ref, wd2dn_ref, md2dn_ref, wd2b_ref, md2b_ref,
+            wd3dn_ref, md3dn_ref, wd3b_ref, md3b_ref, wctx_ref, mctx_ref,
+            se0k_ref, se0b_ref, se1k_ref, se1b_ref,
+            u2w_ref, mu2_ref, u1w_ref, mu1_ref,
+            out_ref, *, bh, bw, c0, c2, c3):
+    """One stream.  Shapes (nano plan, 720p/block-10: bh=18, bw=32,
+    c0=128, c2=192, c3=256):
+
+    x0_ref  [1, bh, 4, bw, 4*c0] s8   quad-folded stem output
+    w*_ref  [3, 3, Cin, Cout] s8      conv weights
+    m*_ref  [2, Cout] f32             rows: (mult, bias)
+    se*_ref SE dense params f32
+    u2w_ref [c3 + c2, c2] s8;  mu2 [2, c2] f32
+    u1w_ref [c2 + c0, c0] s8;  mu1 [2, c0] f32
+    out_ref [1, bh, 4, bw, 4*c0] s8   quad-folded u1
+    """
+    m = bh * bw  # rows per parity plane
+
+    def xplane(qy, qx):
+        return x0_ref[0, :, qy, :, qx * c0 : (qx + 1) * c0]  # [bh, bw, c0]
+
+    # ---- d2dn: stride-2 3x3 over the 72-grid -> 36x64 parity planes.
+    # SAME/stride-2 pads (0, 1): out[y] = sum_r in[2y + r], r in 0..2.
+    mult, bias = md2dn_ref[0], md2dn_ref[1]
+    d2p = [[None, None], [None, None]]
+    for py in range(2):
+        for px in range(2):
+            acc = jnp.zeros((m, c2), jnp.int32)
+            for r in range(3):
+                ty = 2 * py + r  # 72-grid row offset within the quad
+                for s in range(3):
+                    tx = 2 * px + s
+                    tap = _shift2(xplane(ty % 4, tx % 4), ty // 4, tx // 4)
+                    acc += _dot_i8(tap.reshape(m, c0), wd2dn_ref[r, s])
+            d2p[py][px] = _requant(acc.astype(jnp.float32) * mult + bias)
+
+    # ---- d2b: stride-1 3x3 on the 36x64 grid, parity form.
+    mult, bias = md2b_ref[0], md2b_ref[1]
+    d2bp = [[None, None], [None, None]]
+    for py in range(2):
+        for px in range(2):
+            acc = jnp.zeros((m, c2), jnp.int32)
+            for r in range(3):
+                ty = py + r - 1
+                for s in range(3):
+                    tx = px + s - 1
+                    tap = _shift2(d2p[ty % 2][tx % 2].reshape(bh, bw, c2),
+                                  ty // 2, tx // 2)
+                    acc += _dot_i8(tap.reshape(m, c2), wd2b_ref[r, s])
+            d2bp[py][px] = _requant(acc.astype(jnp.float32) * mult + bias)
+
+    # ---- d3dn: stride-2 3x3, 36-grid -> NATURAL 18x32.
+    # in rows 2i + r: parity r&1, block i + (r>>1) -- no striding.
+    mult, bias = md3dn_ref[0], md3dn_ref[1]
+    acc = jnp.zeros((m, c3), jnp.int32)
+    for r in range(3):
+        for s in range(3):
+            tap = _shift2(d2bp[r % 2][s % 2].reshape(bh, bw, c2),
+                          r // 2, s // 2)
+            acc += _dot_i8(tap.reshape(m, c2), wd3dn_ref[r, s])
+    d3 = _requant(acc.astype(jnp.float32) * mult + bias)  # [m, c3]
+
+    # ---- d3b: stride-1 3x3 at 18x32.
+    mult, bias = md3b_ref[0], md3b_ref[1]
+    acc = jnp.zeros((m, c3), jnp.int32)
+    for r in range(3):
+        for s in range(3):
+            tap = _shift2(d3.reshape(bh, bw, c3), r - 1, s - 1)
+            acc += _dot_i8(tap.reshape(m, c3), wd3b_ref[r, s])
+    d3 = _requant(acc.astype(jnp.float32) * mult + bias)
+
+    # ---- ctx: dilation-3 3x3, no act; residual + relu6; SE.
+    mult, bias = mctx_ref[0], mctx_ref[1]
+    acc = jnp.zeros((m, c3), jnp.int32)
+    for r in range(3):
+        for s in range(3):
+            tap = _shift2(d3.reshape(bh, bw, c3), 3 * (r - 1), 3 * (s - 1))
+            acc += _dot_i8(tap.reshape(m, c3), wctx_ref[r, s])
+    c3f = acc.astype(jnp.float32) * mult + bias
+    ctx_f = jnp.clip(c3f + d3.astype(jnp.float32) * ACT_SCALE, 0.0, 6.0)
+    s = jnp.mean(ctx_f, axis=0, keepdims=True)  # [1, c3]
+    s = jax.nn.relu(s @ se0k_ref[...] + se0b_ref[...])
+    s = s @ se1k_ref[...] + se1b_ref[...]
+    ctx_f = ctx_f * jax.nn.sigmoid(s)
+    ctx = jnp.round(jnp.clip(ctx_f, 0.0, 6.0) * RELU6_SCALE).astype(jnp.int8)
+
+    # ---- u2red: x2 upsample + split 1x1 (models/quantized.py
+    # split_conv_up semantics).  u2 stays in parity planes.
+    mu2, bu2 = mu2_ref[0], mu2_ref[1]
+    wa2, wb2 = u2w_ref[:c3], u2w_ref[c3:]
+    yaf = _dot_i8(ctx, wa2).astype(jnp.float32) * mu2 + bu2  # [m, c2]
+    u2p = [[None, None], [None, None]]
+    for dy in range(2):
+        for dx in range(2):
+            yb = _dot_i8(d2bp[dy][dx], wb2).astype(jnp.float32) * mu2
+            u2p[dy][dx] = _requant(yaf + yb)
+
+    # ---- u1red: same, u1 emerges as 16 quad planes == the folded out.
+    mu1, bu1 = mu1_ref[0], mu1_ref[1]
+    wa1, wb1 = u1w_ref[:c2], u1w_ref[c2:]
+    for dy in range(2):
+        for dx in range(2):
+            yaf1 = _dot_i8(u2p[dy][dx], wa1).astype(jnp.float32) * mu1 + bu1
+            for ey in range(2):
+                for ex in range(2):
+                    qy, qx = 2 * dy + ey, 2 * dx + ex
+                    yb = _dot_i8(
+                        xplane(qy, qx).reshape(m, c0), wb1
+                    ).astype(jnp.float32) * mu1
+                    out_ref[0, :, qy, :, qx * c0 : (qx + 1) * c0] = _requant(
+                        yaf1 + yb
+                    ).reshape(bh, bw, c0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run(x0q, wd2dn, md2dn, wd2b, md2b, wd3dn, md3dn, wd3b, md3b,
+         wctx, mctx, se0k, se0b, se1k, se1b, u2w, mu2, u1w, mu1,
+         *, interpret):
+    s, bh, _, bw, l = x0q.shape
+    c0 = l // 4
+    c2 = wd2dn.shape[-1]
+    c3 = wd3dn.shape[-1]
+    kern = functools.partial(_kernel, bh=bh, bw=bw, c0=c0, c2=c2, c3=c3)
+
+    def whole(x):
+        return pl.BlockSpec(
+            x.shape, lambda i: tuple(0 for _ in x.shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    consts = [wd2dn, md2dn, wd2b, md2b, wd3dn, md3dn, wd3b, md3b,
+              wctx, mctx, se0k, se0b, se1k, se1b, u2w, mu2, u1w, mu1]
+    return pl.pallas_call(
+        kern,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bh, 4, bw, l), lambda i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + [whole(c) for c in consts],
+        out_specs=pl.BlockSpec(
+            (1, bh, 4, bw, l), lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((s, bh, 4, bw, l), jnp.int8),
+        interpret=interpret,
+    )(x0q, *consts)
+
+
+def _mb(layer):
+    """(mult, bias) rows as one [2, C] f32 array."""
+    return jnp.stack([
+        jnp.asarray(layer["mult"], jnp.float32).reshape(-1),
+        jnp.asarray(layer["bias"], jnp.float32).reshape(-1),
+    ])
+
+
+def fused_nano_trunk(x0, q, interpret=None):
+    """x0 [S, H, W, C0] s8 (stem output, H%4 == W%4 == 0) + the nano
+    qparams dict (models/quantized.py::quantize_mattenet_hd) -> u1
+    [S, H, W, C0] s8.  Covers d2dn..u1red in one VMEM pass per stream.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, h, w, c0 = x0.shape
+    x0q = x0.reshape(s, h // 4, 4, w // 4, 4 * c0)  # free row-major fold
+    out = _run(
+        x0q,
+        q["d2dn"]["wq"], _mb(q["d2dn"]),
+        q["d2b"]["wq"], _mb(q["d2b"]),
+        q["d3dn"]["wq"], _mb(q["d3dn"]),
+        q["d3b"]["wq"], _mb(q["d3b"]),
+        q["ctx"]["wq"], _mb(q["ctx"]),
+        jnp.asarray(q["ctxse/Dense_0"]["kernel"], jnp.float32),
+        jnp.asarray(q["ctxse/Dense_0"]["bias"], jnp.float32).reshape(1, -1),
+        jnp.asarray(q["ctxse/Dense_1"]["kernel"], jnp.float32),
+        jnp.asarray(q["ctxse/Dense_1"]["bias"], jnp.float32).reshape(1, -1),
+        q["u2red"]["wq"].reshape(-1, q["u2red"]["wq"].shape[-1]), _mb(q["u2red"]),
+        q["u1red"]["wq"].reshape(-1, q["u1red"]["wq"].shape[-1]), _mb(q["u1red"]),
+        interpret=interpret,
+    )
+    return out.reshape(s, h, w, c0)

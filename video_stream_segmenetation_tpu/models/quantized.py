@@ -348,6 +348,13 @@ class QuantizedMatteNetHD:
                   "bias": jnp.zeros_like(layer["bias"])}
             return _requant(_conv_i8(up, la) + _conv_i8(skip, lb))
 
+        impl = self.decoder_impl
+        if impl == "auto":
+            if jax.default_backend() == "tpu":
+                impl = "trunk" if self.decoder == "nano" else "pallas"
+            else:
+                impl = "xla"
+
         def split_conv_up(small, skip, layer):
             """split_conv with the up-path conv hoisted BELOW the x2
             nearest upsample: a 1x1 conv commutes with nearest-neighbor
@@ -357,9 +364,6 @@ class QuantizedMatteNetHD:
             5.7 ms trunk, tools/bench_trunk_layers.py 2026-08-17), is
             replaced by the same conv at 1/4 the pixels plus an f32
             broadcast fused into the add epilogue."""
-            impl = self.decoder_impl
-            if impl == "auto":
-                impl = "pallas" if jax.default_backend() == "tpu" else "xla"
             if impl == "pallas":
                 from video_stream_segmenetation_tpu.kernels.decoder_int8 import (
                     fused_decoder_level,
@@ -376,7 +380,18 @@ class QuantizedMatteNetHD:
             ]
             return _requant(ya + _conv_i8(skip, lb))
 
-        if self.decoder in ("micro", "nano"):
+        if self.decoder == "nano" and impl == "trunk":
+            # whole-trunk megakernel (kernels/trunk_int8.py): d2dn..u1red
+            # in one VMEM pass per stream -- no XLA-conv<->kernel layout
+            # copies, no s32 epilogue materialization, one custom-call.
+            # The XLA mirror above still feeds sem_logit; in the serving
+            # step sem is unused so XLA dead-code-eliminates the mirror.
+            from video_stream_segmenetation_tpu.kernels.trunk_int8 import (
+                fused_nano_trunk,
+            )
+
+            u1 = fused_nano_trunk(x0, q)
+        elif self.decoder in ("micro", "nano"):
             # plans D/E: 1x1-only decoder; the u1 skip is the stem output
             u2 = split_conv_up(ctx, d2, q["u2red"])
             u1 = split_conv_up(u2, b1, q["u1red"])
