@@ -205,3 +205,47 @@ def test_nano_trunk_megakernel_matches_xla(rng):
         - np.asarray(a_trk.apply(q, x)["alpha"])
     )
     assert d.max() < 1e-6
+
+
+def test_nano_trunk_fused_alpha_head_matches_xla(rng):
+    """The in-kernel int8 3x3 alpha head (fused_nano_trunk_alpha) ==
+    _conv_i8(u1, alpha_q) bit-exactly: the s32 tap sums are
+    order-independent and the f32 epilogue is the same ops.  Also pins
+    the QuantizedMatteNetHD head_impl='int8' + decoder_impl='trunk'
+    route end-to-end."""
+    import jax
+
+    from video_stream_segmenetation_tpu import models
+    from video_stream_segmenetation_tpu.kernels.trunk_int8 import (
+        fused_nano_trunk,
+        fused_nano_trunk_alpha,
+    )
+    from video_stream_segmenetation_tpu.models import quantized as Q
+
+    fh, fw, ss = 240, 320, 10
+    model = models.MatteNetHD(stem_stride=ss, head_upsample=4, decoder="nano")
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, fh, fw, 3)))
+    q = Q.quantize_mattenet_hd(model, params)
+    x = jnp.asarray(
+        rng.integers(0, 255, (2, fh // ss, fw // ss, ss * ss * 3)).astype(
+            np.uint8
+        )
+    )
+    y = x.astype(jnp.bfloat16) @ q["stem_w"]
+    x0 = Q._requant(y.astype(jnp.float32) + q["stem_b"])
+
+    u1 = fused_nano_trunk(x0, q, interpret=True)
+    ref = np.asarray(Q._conv_i8(u1, q["alpha_q"]))[..., 0]
+    got = np.asarray(fused_nano_trunk_alpha(x0, q, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+    a_xla = Q.QuantizedMatteNetHD(
+        ss, 4, decoder="nano", decoder_impl="xla", head_impl="int8"
+    )
+    a_trk = Q.QuantizedMatteNetHD(
+        ss, 4, decoder="nano", decoder_impl="trunk", head_impl="int8"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a_xla.apply(q, x)["alpha"]),
+        np.asarray(a_trk.apply(q, x)["alpha"]),
+    )

@@ -86,7 +86,7 @@ def _kernel(x0_ref, wd2dn_ref, md2dn_ref, wd2b_ref, md2b_ref,
             wd3dn_ref, md3dn_ref, wd3b_ref, md3b_ref, wctx_ref, mctx_ref,
             se0k_ref, se0b_ref, se1k_ref, se1b_ref,
             u2w_ref, mu2_ref, u1w_ref, mu1_ref,
-            out_ref, *, bh, bw, c0, c2, c3):
+            *refs, bh, bw, c0, c2, c3, head):
     """One stream.  Shapes (nano plan, 720p/block-10: bh=18, bw=32,
     c0=128, c2=192, c3=256):
 
@@ -96,7 +96,18 @@ def _kernel(x0_ref, wd2dn_ref, md2dn_ref, wd2b_ref, md2b_ref,
     se*_ref SE dense params f32
     u2w_ref [c3 + c2, c2] s8;  mu2 [2, c2] f32
     u1w_ref [c2 + c0, c0] s8;  mu1 [2, c0] f32
-    out_ref [1, bh, 4, bw, 4*c0] s8   quad-folded u1
+
+    head=False: refs = (out_ref,) with out_ref [1, bh, 4, bw, 4*c0] s8
+    (quad-folded u1).
+    head=True: refs = (va_ref, ma_ref, out_ref): the int8 3x3 alpha head
+    runs in-kernel on the quad planes (u1 never leaves VMEM).  The 3x3
+    conv over the 72-grid decomposes per output quad-parity qo=(qy,qx)
+    into 9 taps, tap (r,s) sourcing quad plane ((qy+r-1)%4, ...) shifted
+    by ((qy+r-1)//4, ...); grouping taps by source (ty, tx) in -1..4
+    gives 36 dots [m, c0] @ va[ty+1, tx+1] with va [6, 6, c0, 16] s8
+    (column qo carries walpha[ty-qy+1, tx-qx+1] or 0) -- exact s32, no
+    column shuffling.  ma_ref [2, 16] f32 = (mult, bias) rows of the
+    alpha head; out_ref [1, bh, bw, 16] f32 quad-folded logits.
     """
     m = bh * bw  # rows per parity plane
 
@@ -182,6 +193,7 @@ def _kernel(x0_ref, wd2dn_ref, md2dn_ref, wd2b_ref, md2b_ref,
     # ---- u1red: same, u1 emerges as 16 quad planes == the folded out.
     mu1, bu1 = mu1_ref[0], mu1_ref[1]
     wa1, wb1 = u1w_ref[:c2], u1w_ref[c2:]
+    u1q = [[None] * 4 for _ in range(4)]
     for dy in range(2):
         for dx in range(2):
             yaf1 = _dot_i8(u2p[dy][dx], wa1).astype(jnp.float32) * mu1 + bu1
@@ -191,20 +203,39 @@ def _kernel(x0_ref, wd2dn_ref, md2dn_ref, wd2b_ref, md2b_ref,
                     yb = _dot_i8(
                         xplane(qy, qx).reshape(m, c0), wb1
                     ).astype(jnp.float32) * mu1
-                    out_ref[0, :, qy, :, qx * c0 : (qx + 1) * c0] = _requant(
-                        yaf1 + yb
-                    ).reshape(bh, bw, c0)
+                    u1q[qy][qx] = _requant(yaf1 + yb)
+
+    if not head:
+        out_ref = refs[0]
+        for qy in range(4):
+            for qx in range(4):
+                out_ref[0, :, qy, :, qx * c0 : (qx + 1) * c0] = u1q[qy][
+                    qx
+                ].reshape(bh, bw, c0)
+        return
+
+    # ---- in-kernel int8 3x3 alpha head on the quad planes.
+    va_ref, ma_ref, out_ref = refs
+    acc = jnp.zeros((m, 16), jnp.int32)
+    for ty in range(-1, 5):
+        for tx in range(-1, 5):
+            tap = _shift2(
+                u1q[ty % 4][tx % 4].reshape(bh, bw, c0), ty // 4, tx // 4
+            )
+            acc += _dot_i8(tap.reshape(m, c0), va_ref[ty + 1, tx + 1])
+    logits = acc.astype(jnp.float32) * ma_ref[0] + ma_ref[1]
+    out_ref[0] = logits.reshape(bh, bw, 16)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(x0q, wd2dn, md2dn, wd2b, md2b, wd3dn, md3dn, wd3b, md3b,
-         wctx, mctx, se0k, se0b, se1k, se1b, u2w, mu2, u1w, mu1,
-         *, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "head"))
+def _run(x0q, *consts, interpret, head):
     s, bh, _, bw, l = x0q.shape
     c0 = l // 4
-    c2 = wd2dn.shape[-1]
-    c3 = wd3dn.shape[-1]
-    kern = functools.partial(_kernel, bh=bh, bw=bw, c0=c0, c2=c2, c3=c3)
+    c2 = consts[0].shape[-1]
+    c3 = consts[4].shape[-1]
+    kern = functools.partial(
+        _kernel, bh=bh, bw=bw, c0=c0, c2=c2, c3=c3, head=head
+    )
 
     def whole(x):
         return pl.BlockSpec(
@@ -212,8 +243,18 @@ def _run(x0q, wd2dn, md2dn, wd2b, md2b, wd3dn, md3dn, wd3b, md3b,
             memory_space=pltpu.VMEM,
         )
 
-    consts = [wd2dn, md2dn, wd2b, md2b, wd3dn, md3dn, wd3b, md3b,
-              wctx, mctx, se0k, se0b, se1k, se1b, u2w, mu2, u1w, mu1]
+    if head:
+        out_spec = pl.BlockSpec(
+            (1, bh, bw, 16), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((s, bh, bw, 16), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec(
+            (1, bh, 4, bw, l), lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((s, bh, 4, bw, l), jnp.int8)
     return pl.pallas_call(
         kern,
         grid=(s,),
@@ -223,11 +264,8 @@ def _run(x0q, wd2dn, md2dn, wd2b, md2b, wd3dn, md3dn, wd3b, md3b,
                 memory_space=pltpu.VMEM,
             ),
         ] + [whole(c) for c in consts],
-        out_specs=pl.BlockSpec(
-            (1, bh, 4, bw, l), lambda i: (i, 0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((s, bh, 4, bw, l), jnp.int8),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(x0q, *consts)
 
@@ -240,17 +278,8 @@ def _mb(layer):
     ])
 
 
-def fused_nano_trunk(x0, q, interpret=None):
-    """x0 [S, H, W, C0] s8 (stem output, H%4 == W%4 == 0) + the nano
-    qparams dict (models/quantized.py::quantize_mattenet_hd) -> u1
-    [S, H, W, C0] s8.  Covers d2dn..u1red in one VMEM pass per stream.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    s, h, w, c0 = x0.shape
-    x0q = x0.reshape(s, h // 4, 4, w // 4, 4 * c0)  # free row-major fold
-    out = _run(
-        x0q,
+def _trunk_consts(q):
+    return (
         q["d2dn"]["wq"], _mb(q["d2dn"]),
         q["d2b"]["wq"], _mb(q["d2b"]),
         q["d3dn"]["wq"], _mb(q["d3dn"]),
@@ -260,8 +289,61 @@ def fused_nano_trunk(x0, q, interpret=None):
         jnp.asarray(q["ctxse/Dense_0"]["bias"], jnp.float32).reshape(1, -1),
         jnp.asarray(q["ctxse/Dense_1"]["kernel"], jnp.float32),
         jnp.asarray(q["ctxse/Dense_1"]["bias"], jnp.float32).reshape(1, -1),
-        q["u2red"]["wq"].reshape(-1, q["u2red"]["wq"].shape[-1]), _mb(q["u2red"]),
-        q["u1red"]["wq"].reshape(-1, q["u1red"]["wq"].shape[-1]), _mb(q["u1red"]),
-        interpret=interpret,
+        q["u2red"]["wq"].reshape(-1, q["u2red"]["wq"].shape[-1]),
+        _mb(q["u2red"]),
+        q["u1red"]["wq"].reshape(-1, q["u1red"]["wq"].shape[-1]),
+        _mb(q["u1red"]),
     )
+
+
+def fused_nano_trunk(x0, q, interpret=None):
+    """x0 [S, H, W, C0] s8 (stem output, H%4 == W%4 == 0) + the nano
+    qparams dict (models/quantized.py::quantize_mattenet_hd) -> u1
+    [S, H, W, C0] s8.  Covers d2dn..u1red in one VMEM pass per stream.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, h, w, c0 = x0.shape
+    x0q = x0.reshape(s, h // 4, 4, w // 4, 4 * c0)  # free row-major fold
+    out = _run(x0q, *_trunk_consts(q), interpret=interpret, head=False)
     return out.reshape(s, h, w, c0)
+
+
+def fused_nano_trunk_alpha(x0, q, interpret=None):
+    """As :func:`fused_nano_trunk`, but with the int8 3x3 alpha head
+    (single class) fused in -- u1 never leaves VMEM.  Returns the alpha
+    LOGITS at u1 resolution, [S, H, W] f32 (exact s32 conv + the same
+    f32 epilogue as models/quantized.py::_conv_i8)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, h, w, c0 = x0.shape
+    wq = q["alpha_q"]["wq"]  # [3, 3, c0, 1]
+    if wq.shape[-1] != 1:
+        raise ValueError("fused alpha head supports num_classes == 1 only")
+    # va[tyc, txc, :, qo] = walpha[tyc - qy, txc - qx] (or 0 outside the
+    # 3x3 window), qo = 4*qy + qx -- see _kernel docstring.
+    wpad = jnp.pad(wq[..., 0], ((3, 3), (3, 3), (0, 0)))  # [9, 9, c0]
+    va = jnp.stack([
+        jnp.stack([
+            jnp.stack([
+                wpad[tyc - (qo // 4) + 3, txc - (qo % 4) + 3]
+                for qo in range(16)
+            ], axis=-1)
+            for txc in range(6)
+        ])
+        for tyc in range(6)
+    ])  # [6, 6, c0, 16]
+    ma = jnp.stack([
+        jnp.broadcast_to(jnp.asarray(q["alpha_q"]["mult"], jnp.float32).reshape(-1)[:1], (16,)),
+        jnp.broadcast_to(jnp.asarray(q["alpha_q"]["bias"], jnp.float32).reshape(-1)[:1], (16,)),
+    ])
+    x0q = x0.reshape(s, h // 4, 4, w // 4, 4 * c0)
+    out = _run(x0q, *_trunk_consts(q), va, ma,
+               interpret=interpret, head=True)  # [S, bh, bw, 16]
+    bh, bw = h // 4, w // 4
+    # unfold quad logits -> [S, H, W] (4.7 MB f32 transpose; negligible)
+    return (
+        out.reshape(s, bh, bw, 4, 4)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(s, h, w)
+    )

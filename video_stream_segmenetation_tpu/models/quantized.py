@@ -380,6 +380,7 @@ class QuantizedMatteNetHD:
             ]
             return _requant(ya + _conv_i8(skip, lb))
 
+        alpha_logit = None
         if self.decoder == "nano" and impl == "trunk":
             # whole-trunk megakernel (kernels/trunk_int8.py): d2dn..u1red
             # in one VMEM pass per stream -- no XLA-conv<->kernel layout
@@ -388,9 +389,19 @@ class QuantizedMatteNetHD:
             # step sem is unused so XLA dead-code-eliminates the mirror.
             from video_stream_segmenetation_tpu.kernels.trunk_int8 import (
                 fused_nano_trunk,
+                fused_nano_trunk_alpha,
             )
 
-            u1 = fused_nano_trunk(x0, q)
+            if (self.head_impl == "int8" and "alpha_q" in q
+                    and self.num_classes == 1):
+                # alpha head fused in too: u1 never leaves VMEM.  u1
+                # below only feeds det (XLA mirror, DCE'd in serving).
+                alpha_logit = fused_nano_trunk_alpha(x0, q)[..., None]
+                u1 = split_conv_up(
+                    split_conv_up(ctx, d2, q["u2red"]), b1, q["u1red"]
+                )
+            else:
+                u1 = fused_nano_trunk(x0, q)
         elif self.decoder in ("micro", "nano"):
             # plans D/E: 1x1-only decoder; the u1 skip is the stem output
             u2 = split_conv_up(ctx, d2, q["u2red"])
@@ -409,7 +420,8 @@ class QuantizedMatteNetHD:
 
         if self.head_impl == "int8" and "alpha_q" in q:
             det_logit = _conv_i8(u1, q["det_q"])
-            alpha_logit = _conv_i8(u1, q["alpha_q"])
+            if alpha_logit is None:
+                alpha_logit = _conv_i8(u1, q["alpha_q"])
         else:
             u1f = u1.astype(jnp.bfloat16) * jnp.bfloat16(ACT_SCALE)
             det_logit = u1f @ q["det"]["kernel"][0, 0].astype(jnp.bfloat16) + q[
