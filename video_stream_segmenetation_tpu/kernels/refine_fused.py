@@ -241,14 +241,13 @@ def _temporal_refine_kernel(
     c_sel = (
         jax.lax.broadcasted_iota(jnp.int32, (w, w), 0) == xi[None, :]
     ).astype(jnp.float32)
-    rows = jnp.dot(
-        r_sel, prev, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    warped = jnp.dot(
-        rows, c_sel, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # DEFAULT precision: Mosaic rejects HIGH, and HIGHEST costs 2x the
+    # MXU passes.  One-hot selection is tolerant of reduced precision in
+    # the SELECTOR (0/1 is exact in bf16); any rounding applies to the
+    # selected prev values -- compiled-vs-interpret agreement is recorded
+    # on the real chip by tools/kernel_parity.py.
+    rows = jnp.dot(r_sel, prev, preferred_element_type=jnp.float32)
+    warped = jnp.dot(rows, c_sel, preferred_element_type=jnp.float32)
     wb = wb_ref[i]
     base = jnp.where(
         use_warp_ref[i] > 0, warped * wb + a_raw * (1.0 - wb), a_raw

@@ -23,6 +23,7 @@ reshape of the conv kernel, so weights stay checkpoint-compatible
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from video_stream_segmenetation_tpu.ops.resize import (
@@ -55,6 +56,26 @@ def depth_to_space(x: jnp.ndarray, block: int) -> jnp.ndarray:
     nd = len(lead)
     x = x.transpose(*range(nd), nd, nd + 2, nd + 1, nd + 3, nd + 4)
     return x.reshape(*lead, hp * b, wp * b, c)
+
+
+def _lane_select_u8(xp: jnp.ndarray, sel: "np.ndarray") -> jnp.ndarray:
+    """Static lane gather ``xp[..., sel]`` for u8 inputs, lowered as a
+    one-hot bf16 matmul.  XLA lowers a small static ``jnp.take`` on the
+    minormost axis to a SEQUENTIAL len(sel)-iteration while loop on TPU
+    (observed in the compiled serving step: 48 serialized slice kernels);
+    the MXU one-hot dot reads the operand once instead.  Exact: u8 values
+    are integers <= 255 (exact in bf16) and each output column has a
+    single 1 -- no rounding, no accumulation."""
+    onehot = np.zeros((xp.shape[-1], len(sel)), np.float32)
+    onehot[np.asarray(sel), np.arange(len(sel))] = 1.0
+    y = jax.lax.dot_general(
+        xp.astype(jnp.bfloat16),
+        jnp.asarray(onehot, jnp.bfloat16),
+        (((xp.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(jnp.uint8)
 
 
 def guide_from_s2d(
@@ -110,7 +131,7 @@ def guide_from_s2d(
             + (offs_y[None, :fy, None] * block + offs_x[None, None, :fx])
             * channels
         ).reshape(-1)
-        g = jnp.take(xp, jnp.asarray(sel), axis=-1)  # [..., hp, wp, C*fy*fx]
+        g = _lane_select_u8(xp, sel)  # [..., hp, wp, C*fy*fx]
         *lead, _, _, _ = g.shape
         nd = len(lead)
         g = g.reshape(*lead, hp, wp, channels, fy, fx)
@@ -121,7 +142,7 @@ def guide_from_s2d(
         (offs_y[:fy, None, None] * block + offs_x[None, :fx, None]) * channels
         + np.arange(channels)[None, None, :]
     ).reshape(-1)
-    g = jnp.take(xp, jnp.asarray(sel), axis=-1)  # [..., hp, wp, fy*fx*C]
+    g = _lane_select_u8(xp, sel)  # [..., hp, wp, fy*fx*C]
     *lead, _, _, _ = g.shape
     nd = len(lead)
     g = g.reshape(*lead, hp, wp, fy, fx, channels)
