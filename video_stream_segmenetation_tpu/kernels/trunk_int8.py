@@ -309,14 +309,28 @@ def fused_nano_trunk(x0, q, interpret=None):
     return out.reshape(s, h, w, c0)
 
 
-def fused_nano_trunk_alpha(x0, q, interpret=None):
-    """As :func:`fused_nano_trunk`, but with the int8 3x3 alpha head
-    (single class) fused in -- u1 never leaves VMEM.  Returns the alpha
-    LOGITS at u1 resolution, [S, H, W] f32 (exact s32 conv + the same
-    f32 epilogue as models/quantized.py::_conv_i8)."""
+def fused_nano_trunk_alpha_q(x0q, q, interpret=None):
+    """As :func:`fused_nano_trunk_alpha`, but taking the stem output
+    ALREADY quad-parity-folded (x0q [S, H/4, 4, W/4, 4*C0] s8 -- e.g.
+    produced directly by the 5D-view stem dot in models/quantized.py so
+    the 72 MB x0 relayout copy at the pallas boundary never exists)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    s, h, w, c0 = x0.shape
+    s, bh, _, bw, l = x0q.shape
+    c0 = l // 4
+    h, w = bh * 4, bw * 4
+    va, ma = _alpha_head_consts(q, c0)
+    out = _run(x0q, *_trunk_consts(q), va, ma,
+               interpret=interpret, head=True)  # [S, bh, bw, 16]
+    # unfold quad logits -> [S, H, W] (4.7 MB f32 transpose; negligible)
+    return (
+        out.reshape(s, bh, bw, 4, 4)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(s, h, w)
+    )
+
+
+def _alpha_head_consts(q, c0):
     wq = q["alpha_q"]["wq"]  # [3, 3, c0, 1]
     if wq.shape[-1] != 1:
         raise ValueError("fused alpha head supports num_classes == 1 only")
@@ -337,13 +351,14 @@ def fused_nano_trunk_alpha(x0, q, interpret=None):
         jnp.broadcast_to(jnp.asarray(q["alpha_q"]["mult"], jnp.float32).reshape(-1)[:1], (16,)),
         jnp.broadcast_to(jnp.asarray(q["alpha_q"]["bias"], jnp.float32).reshape(-1)[:1], (16,)),
     ])
+    return va, ma
+
+
+def fused_nano_trunk_alpha(x0, q, interpret=None):
+    """As :func:`fused_nano_trunk`, but with the int8 3x3 alpha head
+    (single class) fused in -- u1 never leaves VMEM.  Returns the alpha
+    LOGITS at u1 resolution, [S, H, W] f32 (exact s32 conv + the same
+    f32 epilogue as models/quantized.py::_conv_i8)."""
+    s, h, w, c0 = x0.shape
     x0q = x0.reshape(s, h // 4, 4, w // 4, 4 * c0)
-    out = _run(x0q, *_trunk_consts(q), va, ma,
-               interpret=interpret, head=True)  # [S, bh, bw, 16]
-    bh, bw = h // 4, w // 4
-    # unfold quad logits -> [S, H, W] (4.7 MB f32 transpose; negligible)
-    return (
-        out.reshape(s, bh, bw, 4, 4)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(s, h, w)
-    )
+    return fused_nano_trunk_alpha_q(x0q, q, interpret=interpret)

@@ -389,14 +389,22 @@ class QuantizedMatteNetHD:
             # step sem is unused so XLA dead-code-eliminates the mirror.
             from video_stream_segmenetation_tpu.kernels.trunk_int8 import (
                 fused_nano_trunk,
-                fused_nano_trunk_alpha,
+                fused_nano_trunk_alpha_q,
             )
 
             if (self.head_impl == "int8" and "alpha_q" in q
                     and self.num_classes == 1):
                 # alpha head fused in too: u1 never leaves VMEM.  u1
                 # below only feeds det (XLA mirror, DCE'd in serving).
-                alpha_logit = fused_nano_trunk_alpha(x0, q)[..., None]
+                # (Negative result, kept for the record: re-running the
+                # stem dot on a 6D quad-parity VIEW of the input so it
+                # emits x0 pre-folded regressed 6.3 -> 7.6 ms at S=64 --
+                # XLA relayouts the 6D view of its conv-layout parameter,
+                # which costs MORE than the 72 MB x0 fold copy it saves.)
+                sb, hp, wp, _ = x.shape
+                c0 = x0.shape[-1]
+                x0q = x0.reshape(sb, hp // 4, 4, wp // 4, 4 * c0)
+                alpha_logit = fused_nano_trunk_alpha_q(x0q, q)[..., None]
                 u1 = split_conv_up(
                     split_conv_up(ctx, d2, q["u2red"]), b1, q["u1red"]
                 )
