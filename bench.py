@@ -116,6 +116,49 @@ def main() -> None:
     # how many 720p30 streams this chip sustains at this step latency
     streams_sustained = S * min(budget_ms / p50, 4.0)  # cap the extrapolation
 
+    # ---- capacity probe at S=128: when the S=64 extrapolation saturates
+    # its honesty cap (4x), a directly-measured bigger batch shows the
+    # chip's real capacity at only ~2x extrapolation (per-stream cost
+    # rises with S, so this is the batch the capacity claim should come
+    # from; S=256 measured worse -- benchmarks/RESULTS.md).
+    p50_big = None
+    S_BIG = 2 * S
+    if budget_ms / p50 > 4.0:
+        big = Engine(num_streams=S_BIG, statics=statics, donate_state=False)
+        for _ in range(S_BIG):
+            big.admit()
+        bframes = jax.jit(
+            lambda k: ops.space_to_depth(
+                (jax.random.uniform(k, (S_BIG, *statics.frame_hw, 3)) * 255)
+                .astype(jnp.uint8),
+                statics.s2d_block,
+            )
+        )(key)
+        bgate = jnp.ones((S_BIG,), bool)
+
+        def run_big_chain(nsteps, bstate):
+            for _ in range(nsteps):
+                bstate, bout = big._step(
+                    big.bundle.params, bstate, bframes, big.backgrounds,
+                    big.knobs, bgate,
+                )
+            return bstate, bout
+
+        bstate, bout = run_big_chain(2, big.state)  # warmup / compile
+        _ = np.asarray(reducer(bout["frame"]))
+        bsamples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            bstate, bout = run_big_chain(n, bstate)
+            _ = np.asarray(reducer(bout["frame"]))
+            total_ms = (time.perf_counter() - t0) * 1e3
+            bsamples.append(max(total_ms - rtt_ms, 0.0) / n)
+        bsamples.sort()
+        p50_big = bsamples[len(bsamples) // 2]
+        streams_sustained = max(
+            streams_sustained, S_BIG * min(budget_ms / p50_big, 4.0)
+        )
+
     # ---- latency serving mode: one 16-stream group step (groups=4) ----
     # Same jitted step at S/4: the per-frame compute latency of
     # StreamScheduler(groups=4) group-scheduled serving.
@@ -155,6 +198,8 @@ def main() -> None:
             "batch_streams": S,
             "step_ms_p50": round(p50, 2),
             "step_ms_min": round(samples[0], 2),
+            "capacity_batch_streams": S_BIG if p50_big is not None else S,
+            "capacity_step_ms_p50": round(p50_big, 2) if p50_big is not None else round(p50, 2),
             "per_frame_latency_ms_p50_group_mode": round(gp50, 2),
             "latency_target_ms": 8.0,
             "sync_rtt_ms": round(rtt_ms, 2),
