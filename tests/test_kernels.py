@@ -207,12 +207,14 @@ def test_nano_trunk_megakernel_matches_xla(rng):
     assert d.max() < 1e-6
 
 
-def test_nano_trunk_fused_alpha_head_matches_xla(rng):
+@pytest.mark.parametrize("decoder", ["nano", "pico"])
+def test_nano_trunk_fused_alpha_head_matches_xla(rng, decoder):
     """The in-kernel int8 3x3 alpha head (fused_nano_trunk_alpha) ==
     _conv_i8(u1, alpha_q) bit-exactly: the s32 tap sums are
     order-independent and the f32 epilogue is the same ops.  Also pins
     the QuantizedMatteNetHD head_impl='int8' + decoder_impl='trunk'
-    route end-to-end."""
+    route end-to-end, at both nano (c2 192/c3 256) and pico (128/192)
+    widths -- the megakernel reads widths from the weights."""
     import jax
 
     from video_stream_segmenetation_tpu import models
@@ -223,7 +225,7 @@ def test_nano_trunk_fused_alpha_head_matches_xla(rng):
     from video_stream_segmenetation_tpu.models import quantized as Q
 
     fh, fw, ss = 240, 320, 10
-    model = models.MatteNetHD(stem_stride=ss, head_upsample=4, decoder="nano")
+    model = models.MatteNetHD(stem_stride=ss, head_upsample=4, decoder=decoder)
     params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, fh, fw, 3)))
     q = Q.quantize_mattenet_hd(model, params)
     x = jnp.asarray(

@@ -91,7 +91,7 @@ class MatteNetHD(nn.Module):
             return max(16, int(n * self.width) // 16 * 16)
 
         ss = self.stem_stride
-        if ss >= 8 and self.decoder in ("micro", "nano"):
+        if ss >= 8 and self.decoder in ("micro", "nano", "pico"):
             return self._plan_d(x, train, c)
         if ss >= 8 and self.decoder == "light":
             return self._plan_c(x, train, c)
@@ -190,7 +190,13 @@ class MatteNetHD(nn.Module):
         ConvBN_6 u2red | ConvBN_7 u1red | Conv_0..2 heads).
         """
         ss = self.stem_stride
-        nano = self.decoder == "nano"
+        nano = self.decoder in ("nano", "pico")
+        # plan F ('pico'): the nano structure at reduced deep widths
+        # (c2 192 -> 128, c3 256 -> 192; c0 stays 128 so every level
+        # remains lane-perfect).  ~38% fewer MACs than nano -- the next
+        # point on the quality-vs-width study (benchmarks/RESULTS.md).
+        w2 = c(128) if self.decoder == "pico" else c(192)
+        w3 = c(192) if self.decoder == "pico" else c(256)
         patched = x.shape[-1] == 3 * ss * ss
         if not patched:
             if x.dtype == jnp.uint8:
@@ -201,24 +207,24 @@ class MatteNetHD(nn.Module):
             c(128), (ss, ss), strides=(ss, ss), dtype=self.dtype,
             patch_input=patched,
         )(x, train)  # 72x128
-        d2 = ConvBN(c(192), strides=(2, 2), dtype=self.dtype)(x0, train)  # 36x64
+        d2 = ConvBN(w2, strides=(2, 2), dtype=self.dtype)(x0, train)  # 36x64
         if nano:
-            d2 = ConvBN(c(192), dtype=self.dtype)(d2, train)
+            d2 = ConvBN(w2, dtype=self.dtype)(d2, train)
         else:
-            d2 = _Block(c(192), use_se=True, dtype=self.dtype)(d2, train)
-        d3 = ConvBN(c(256), strides=(2, 2), dtype=self.dtype)(d2, train)  # 18x32
+            d2 = _Block(w2, use_se=True, dtype=self.dtype)(d2, train)
+        d3 = ConvBN(w3, strides=(2, 2), dtype=self.dtype)(d2, train)  # 18x32
         if nano:
-            d3 = ConvBN(c(256), dtype=self.dtype)(d3, train)
+            d3 = ConvBN(w3, dtype=self.dtype)(d3, train)
         else:
-            d3 = _Block(c(256), use_se=True, dtype=self.dtype)(d3, train)
+            d3 = _Block(w3, use_se=True, dtype=self.dtype)(d3, train)
 
-        ctx = ConvBN(c(256), dilation=(3, 3), act=False, dtype=self.dtype)(
+        ctx = ConvBN(w3, dilation=(3, 3), act=False, dtype=self.dtype)(
             d3, train
         )
         ctx = SEBlock(dtype=self.dtype)(nn.relu6(ctx + d3))
 
         u2 = nearest_x2(ctx)[..., : d2.shape[-3], : d2.shape[-2], :]
-        u2 = ConvBN(c(192), (1, 1), dtype=self.dtype)(
+        u2 = ConvBN(w2, (1, 1), dtype=self.dtype)(
             jnp.concatenate([u2, d2], axis=-1), train
         )
         u1 = nearest_x2(u2)[..., : x0.shape[-3], : x0.shape[-2], :]

@@ -89,6 +89,22 @@ _PRESETS = {
         crop_impl="mxu",
         resize_impl="mxu",
     ),
+    # plan-F pico trunk (matting_decoder='pico'): the nano structure at
+    # reduced deep widths (c2 128, c3 192; ~38% fewer MACs) -- the next
+    # point on the width/quality study (benchmarks/RESULTS.md)
+    "fast_int8_pico": dict(
+        matting_input="native",
+        guide_impl="nearest_u8",
+        warp_impl="separable",
+        face_compact=True,
+        frame_layout="s2d",
+        s2d_block=10,
+        face_input="guide",
+        matting_precision="int8",
+        matting_decoder="pico",
+        crop_impl="mxu",
+        resize_impl="mxu",
+    ),
     # frameProcessor.ts: BlazeFace center tracking, translation warp
     # (gain 0.9, 50/50 blend), EMA 0.75, gamma 0.8, no morphology/prior;
     # detector on a plain 128 resize every frame
