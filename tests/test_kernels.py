@@ -207,7 +207,7 @@ def test_nano_trunk_megakernel_matches_xla(rng):
     assert d.max() < 1e-6
 
 
-@pytest.mark.parametrize("decoder", ["nano", "pico"])
+@pytest.mark.parametrize("decoder", ["nano", "pico", "femto"])
 def test_nano_trunk_fused_alpha_head_matches_xla(rng, decoder):
     """The in-kernel int8 3x3 alpha head (fused_nano_trunk_alpha) ==
     _conv_i8(u1, alpha_q) bit-exactly: the s32 tap sums are

@@ -47,6 +47,7 @@ CASES = [
     ("flagship_fast_int8_micro", "fast_int8_micro", {}, "mattenet_hd10_micro"),
     ("flagship_fast_int8_nano", "fast_int8_nano", {}, "mattenet_hd10_nano"),
     ("flagship_fast_int8_pico", "fast_int8_pico", {}, "mattenet_hd10_pico"),
+    ("flagship_fast_int8_femto", "fast_int8_femto", {}, "mattenet_hd10_femto"),
     ("active", "active", {}, "mattenet"),
     ("rvm", "rvm", {}, "rvm"),
     ("u2", "u2", {}, "u2net"),

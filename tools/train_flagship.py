@@ -56,6 +56,10 @@ def main(steps: int = 600, only: set[str] | None = None):
         ("mattenet_hd10_pico",
          models.MatteNetHD(stem_stride=10, head_upsample=4, decoder="pico"),
          (240, 320), 5e-4, (720, 1280), 8),
+        # plan-G femto trunk (c2 128 / c3 128): every level one lane group
+        ("mattenet_hd10_femto",
+         models.MatteNetHD(stem_stride=10, head_upsample=4, decoder="femto"),
+         (240, 320), 5e-4, (720, 1280), 8),
         ("mattenet", models.MatteNet(), (96, 160), 1.5e-3, (288, 512), 16),
     ]
     if only:

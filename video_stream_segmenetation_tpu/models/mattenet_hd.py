@@ -31,6 +31,17 @@ import jax.numpy as jnp
 
 from video_stream_segmenetation_tpu.models.backbones import ConvBN, SEBlock, nearest_x2
 
+# plan-E-family deep widths (c2 at /2, c3 at /4 of the stem grid): the
+# width/quality knee hunt of benchmarks/RESULTS.md.  Every member shares
+# the plan-E structure (_plan_d with single convs) and the int8 serving
+# graph including the whole-trunk megakernel, which reads channel counts
+# from the weights (kernels/trunk_int8.py).
+NANO_WIDTHS = {
+    "nano": (192, 256),   # plan E
+    "pico": (128, 192),   # plan F: ~38% fewer MACs than nano
+    "femto": (128, 128),  # plan G: every level exactly one 128-lane group
+}
+
 
 class _Block(nn.Module):
     """Dense residual conv block: 3x3 -> 3x3 with SE option."""
@@ -80,7 +91,11 @@ class MatteNetHD(nn.Module):
     # skip directly), single dilation-3 context conv, 1x1-only decoder --
     # ~37% fewer FLOPs than plan C (8.5 vs 13.4 GFLOP/frame at 720p);
     # 'nano' = plan E: plan D with the residual _Blocks at /2 and /4
-    # replaced by single 3x3 convs (6.3 GFLOP/frame).
+    # replaced by single 3x3 convs (6.3 GFLOP/frame);
+    # 'pico'/'femto' = plans F/G: the nano structure at reduced deep
+    # widths (NANO_WIDTHS) -- every level stays lane-perfect (multiples
+    # of 128/64 lanes) and the int8 trunk megakernel reads widths from
+    # the weights, so these need no kernel changes.
     # Quality-vs-ms study across plans: benchmarks/RESULTS.md.
     decoder: str = "full"
     dtype: Any = jnp.bfloat16
@@ -91,7 +106,7 @@ class MatteNetHD(nn.Module):
             return max(16, int(n * self.width) // 16 * 16)
 
         ss = self.stem_stride
-        if ss >= 8 and self.decoder in ("micro", "nano", "pico"):
+        if ss >= 8 and (self.decoder == "micro" or self.decoder in NANO_WIDTHS):
             return self._plan_d(x, train, c)
         if ss >= 8 and self.decoder == "light":
             return self._plan_c(x, train, c)
@@ -190,13 +205,14 @@ class MatteNetHD(nn.Module):
         ConvBN_6 u2red | ConvBN_7 u1red | Conv_0..2 heads).
         """
         ss = self.stem_stride
-        nano = self.decoder in ("nano", "pico")
-        # plan F ('pico'): the nano structure at reduced deep widths
-        # (c2 192 -> 128, c3 256 -> 192; c0 stays 128 so every level
-        # remains lane-perfect).  ~38% fewer MACs than nano -- the next
-        # point on the quality-vs-width study (benchmarks/RESULTS.md).
-        w2 = c(128) if self.decoder == "pico" else c(192)
-        w3 = c(192) if self.decoder == "pico" else c(256)
+        nano = self.decoder in NANO_WIDTHS
+        # plans F/G ('pico'/'femto'): the nano structure at reduced deep
+        # widths (c0 stays 128 so every level remains lane-perfect) --
+        # the quality-vs-width knee hunt (benchmarks/RESULTS.md).
+        w2, w3 = (
+            (c(n) for n in NANO_WIDTHS[self.decoder])
+            if nano else (c(192), c(256))
+        )
         patched = x.shape[-1] == 3 * ss * ss
         if not patched:
             if x.dtype == jnp.uint8:

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from video_stream_segmenetation_tpu.models.mattenet_hd import NANO_WIDTHS
+
 ACT_SCALE = 6.0 / 127.0  # relu6 output lattice
 
 
@@ -174,7 +176,7 @@ def quantize_mattenet_hd(model, params):
         q[name] = _qconvbn(p, path, st, ACT_SCALE)
 
     plan = getattr(model, "decoder", "full")
-    if plan in ("nano", "pico"):
+    if plan in NANO_WIDTHS:
         # plan E module order (mattenet_hd.py::_plan_d docstring)
         blocks = ()
         cb("d2dn", ("ConvBN_1",))
@@ -304,7 +306,7 @@ class QuantizedMatteNetHD:
             x0 = _requant(y.astype(jnp.float32) + q["stem_b"])
 
         ci = self.conv_impl
-        if self.decoder in ("micro", "nano", "pico"):
+        if self.decoder in ("micro", *NANO_WIDTHS):
             # plans D/E/F: stem feeds d2dn AND the u1 skip directly
             b1 = x0
             d2 = _requant(_conv_i8(x0, q["d2dn"], strides=(2, 2)))
@@ -314,7 +316,7 @@ class QuantizedMatteNetHD:
             else:
                 b1 = _block(x0, q, None, "b1", ci)
             d2 = _requant(_conv_i8(b1, q["d2dn"], strides=(2, 2)))
-        if self.decoder in ("nano", "pico"):
+        if self.decoder in NANO_WIDTHS:
             # plans E/F: single convs instead of residual blocks
             d2 = _qconv(d2, q["d2b"], ci)
             d3 = _requant(_conv_i8(d2, q["d3dn"], strides=(2, 2)))
@@ -324,7 +326,7 @@ class QuantizedMatteNetHD:
             d3 = _requant(_conv_i8(d2, q["d3dn"], strides=(2, 2)))
             d3 = _block(d3, q, None, "d3b", ci)
 
-        if self.decoder in ("micro", "nano", "pico"):
+        if self.decoder in ("micro", *NANO_WIDTHS):
             c3 = _conv_i8(d3, q["ctx"], dilation=(3, 3))  # no act
             ctx_f = jax.nn.relu6(c3 + d3.astype(jnp.float32) * ACT_SCALE)
         else:
@@ -351,7 +353,7 @@ class QuantizedMatteNetHD:
         impl = self.decoder_impl
         if impl == "auto":
             if jax.default_backend() == "tpu":
-                impl = "trunk" if self.decoder in ("nano", "pico") else "pallas"
+                impl = "trunk" if self.decoder in NANO_WIDTHS else "pallas"
             else:
                 impl = "xla"
 
@@ -381,7 +383,7 @@ class QuantizedMatteNetHD:
             return _requant(ya + _conv_i8(skip, lb))
 
         alpha_logit = None
-        if self.decoder in ("nano", "pico") and impl == "trunk":
+        if self.decoder in NANO_WIDTHS and impl == "trunk":
             # whole-trunk megakernel (kernels/trunk_int8.py): d2dn..u1red
             # in one VMEM pass per stream -- no XLA-conv<->kernel layout
             # copies, no s32 epilogue materialization, one custom-call.
@@ -410,7 +412,7 @@ class QuantizedMatteNetHD:
                 )
             else:
                 u1 = fused_nano_trunk(x0, q)
-        elif self.decoder in ("micro", "nano", "pico"):
+        elif self.decoder in ("micro", *NANO_WIDTHS):
             # plans D/E/F: 1x1-only decoder; the u1 skip is the stem output
             u2 = split_conv_up(ctx, d2, q["u2red"])
             u1 = split_conv_up(u2, b1, q["u1red"])

@@ -105,6 +105,21 @@ _PRESETS = {
         crop_impl="mxu",
         resize_impl="mxu",
     ),
+    # plan-G femto trunk (matting_decoder='femto'): every trunk level at
+    # exactly one 128-lane group -- the knee-hunt point below pico
+    "fast_int8_femto": dict(
+        matting_input="native",
+        guide_impl="nearest_u8",
+        warp_impl="separable",
+        face_compact=True,
+        frame_layout="s2d",
+        s2d_block=10,
+        face_input="guide",
+        matting_precision="int8",
+        matting_decoder="femto",
+        crop_impl="mxu",
+        resize_impl="mxu",
+    ),
     # frameProcessor.ts: BlazeFace center tracking, translation warp
     # (gain 0.9, 50/50 blend), EMA 0.75, gamma 0.8, no morphology/prior;
     # detector on a plain 128 resize every frame
