@@ -42,14 +42,15 @@ def main() -> None:
 
     S = TARGET_STREAMS
     # the TPU-first fast serving configuration (single source of truth:
-    # runtime/presets.py "fast_int8_nano"; see ARCHITECTURE.md).  The
-    # plan-E nano trunk both benches faster AND evals better than the
-    # bigger trunks (held-out IoU 0.985 vs 0.980 micro / 0.966 lite,
+    # runtime/presets.py "fast_int8_pico"; see ARCHITECTURE.md).  The
+    # plan-F pico trunk both benches faster AND evals better than the
+    # bigger trunks (held-out IoU 0.9866 vs 0.985 nano / 0.980 micro,
     # benchmarks/RESULTS.json "variants") -- quality lives in the guided
-    # refine stage, not trunk width -- so it is the headline preset.
+    # refine stage, not trunk width; the knee is just below pico (plan-G
+    # femto regresses IoU) -- so pico is the headline preset.
     from video_stream_segmenetation_tpu.runtime.presets import preset
 
-    statics = preset("fast_int8_nano")
+    statics = preset("fast_int8_pico")
     engine = Engine(num_streams=S, statics=statics, donate_state=False)
     for _ in range(S):
         engine.admit()
