@@ -251,3 +251,78 @@ def test_plan_e_int8_matches_bf16(rng):
     frames = (rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8)
     out = eng.process(frames)
     assert out["metrics"]["health"]["state"] == "ok"
+
+
+def test_stem_aux_guide_exact(rng):
+    """The planar guide gather riding the stem matmul as extra one-hot
+    columns (stem_aux_cols) is bit-exact vs the standalone lane-gather,
+    and the alpha output is unchanged (each dot column is an independent
+    contraction)."""
+    from video_stream_segmenetation_tpu.ops.layout import (
+        guide_from_gathered,
+        guide_s2d_sel,
+    )
+
+    model = models.MatteNetHD(
+        width=0.5, stem_stride=BLK, head_upsample=4, decoder="nano"
+    )
+    params = model.init(jax.random.PRNGKey(5), jnp.zeros((1, *FRAME_HW, 3)))
+    q = quantize_mattenet_hd(model, params)
+    qm = QuantizedMatteNetHD(stem_stride=BLK, head_upsample=4, decoder="nano")
+    assert qm.supports_stem_aux
+
+    u8 = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    packed = ops.space_to_depth(u8, BLK)
+
+    sel = guide_s2d_sel(FRAME_HW, MASK_HW, BLK, planar=True)
+    assert sel is not None
+    onehot = np.zeros((packed.shape[-1], len(sel)), np.float32)
+    onehot[np.asarray(sel), np.arange(len(sel))] = 1.0
+
+    out = jax.jit(qm.apply)(q, packed, stem_aux_cols=jnp.asarray(onehot, jnp.bfloat16))
+    g_fused = np.asarray(
+        guide_from_gathered(out["stem_aux"], FRAME_HW, MASK_HW, BLK, planar=True)
+    )
+    g_ref = np.asarray(
+        ops.guide_from_s2d(packed, FRAME_HW, MASK_HW, BLK, planar=True)
+    )
+    np.testing.assert_array_equal(g_fused, g_ref)
+
+    a_plain = np.asarray(jax.jit(qm.apply)(q, packed)["alpha"])
+    np.testing.assert_array_equal(np.asarray(out["alpha"]), a_plain)
+
+
+def test_stem_aux_engine_pipeline(rng):
+    """Engine with guide_stem_aux=True (planar guide riding the stem
+    matmul) matches the default separate-gather pipeline bit-for-bit.
+    The fusion is OFF by default — measured slower on v5e (see
+    PipelineStatics.guide_stem_aux) — but stays pinned here."""
+    import dataclasses as _dc
+
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+    from video_stream_segmenetation_tpu.service import Engine
+
+    statics = preset(
+        "fast_int8_nano", frame_hw=FRAME_HW, mask_hw=MASK_HW,
+        fd_size=64, lmk_size=48, background="color",
+    )
+    frames = (rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8)
+    eng = Engine(
+        num_streams=2,
+        statics=_dc.replace(statics, guide_stem_aux=True),
+        rng_seed=0,
+        donate_state=False,
+    )
+    out_fused = eng.process(frames)
+
+    eng2 = Engine(num_streams=2, statics=statics, rng_seed=0,
+                  donate_state=False)
+    out_plain = eng2.process(frames)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_fused["frame"]), np.asarray(out_plain["frame"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fused["alpha"]), np.asarray(out_plain["alpha"]),
+        atol=1e-6,
+    )

@@ -283,7 +283,11 @@ class QuantizedMatteNetHD:
         # logits out) -- the 144 MB bf16 dequant of u1 never materializes
         self.head_impl = head_impl
 
-    def apply(self, q, x, train: bool = False):
+    # the pipeline may ride extra one-hot gather columns on the stem
+    # matmul (``stem_aux_cols``) -- see guide_s2d_sel in ops/layout.py
+    supports_stem_aux = True
+
+    def apply(self, q, x, train: bool = False, stem_aux_cols=None):
         ss = self.stem_stride
         if x.shape[-1] != 3 * ss * ss:
             from video_stream_segmenetation_tpu.ops.layout import space_to_depth
@@ -292,6 +296,7 @@ class QuantizedMatteNetHD:
                 x = jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
             x = space_to_depth(x, ss)
         # stem: patch matmul + folded BN -> relu6 lattice
+        stem_aux = None
         if self.stem_impl == "int8" and x.dtype == jnp.uint8 and "stem_wq" in q:
             xs = jax.lax.bitcast_convert_type(x ^ jnp.uint8(128), jnp.int8)
             y = jax.lax.dot_general(
@@ -301,6 +306,28 @@ class QuantizedMatteNetHD:
             x0 = _requant(
                 y.astype(jnp.float32) * q["stem_mult"] + q["stem_b2"]
             )
+            if stem_aux_cols is not None:
+                # aux columns can't ride the s8 dot (u8 taps overflow s8);
+                # run them as their own dot off the same input
+                stem_aux = (
+                    x.astype(jnp.bfloat16) @ stem_aux_cols.astype(jnp.bfloat16)
+                ).astype(jnp.uint8)
+        elif stem_aux_cols is not None:
+            # single dot: stem columns + one-hot gather columns.  Each
+            # output column of a dot is an independent contraction, so
+            # the stem half is bit-identical to the stem-only matmul and
+            # the aux half is the exact u8 tap (u8 values and a one-tap
+            # one-hot product are exact in bf16).  One read (and one
+            # dot-layout copy) of the 169 MB packed frames instead of
+            # two -- the guide gather's own full-tensor relayout vanishes
+            # (HLO census 2026-08-18: 2x u8[64,72,128,300] copy fusions).
+            nc = q["stem_w"].shape[1]
+            w = jnp.concatenate(
+                [q["stem_w"], stem_aux_cols.astype(jnp.bfloat16)], axis=1
+            )
+            y = x.astype(jnp.bfloat16) @ w
+            stem_aux = y[..., nc:].astype(jnp.uint8)
+            x0 = _requant(y[..., :nc].astype(jnp.float32) + q["stem_b"])
         else:
             y = x.astype(jnp.bfloat16) @ q["stem_w"]
             x0 = _requant(y.astype(jnp.float32) + q["stem_b"])
@@ -464,13 +491,17 @@ class QuantizedMatteNetHD:
             axis=-1,
         )
         if k == 1:
-            return {
+            out = {
                 "alpha": jax.nn.sigmoid(al[..., 0].astype(jnp.float32)),
                 "semantic": jax.nn.sigmoid(sem_logit.astype(jnp.float32))[..., 0],
                 "detail": det_logit.astype(jnp.float32)[..., 0],
             }
-        return {
-            "alpha": jax.nn.softmax(al.astype(jnp.float32), axis=-1),
-            "semantic": jax.nn.softmax(sem_logit.astype(jnp.float32), axis=-1),
-            "detail": det_logit.astype(jnp.float32),
-        }
+        else:
+            out = {
+                "alpha": jax.nn.softmax(al.astype(jnp.float32), axis=-1),
+                "semantic": jax.nn.softmax(sem_logit.astype(jnp.float32), axis=-1),
+                "detail": det_logit.astype(jnp.float32),
+            }
+        if stem_aux is not None:
+            out["stem_aux"] = stem_aux
+        return out

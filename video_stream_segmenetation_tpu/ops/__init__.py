@@ -69,6 +69,8 @@ from video_stream_segmenetation_tpu.ops.layout import (  # noqa: F401
     space_to_depth,
     depth_to_space,
     guide_from_s2d,
+    guide_s2d_sel,
+    guide_from_gathered,
     alpha_composite_s2d,
     multiclass_composite_s2d,
     packed_color,

@@ -78,6 +78,78 @@ def _lane_select_u8(xp: jnp.ndarray, sel: "np.ndarray") -> jnp.ndarray:
     return y.astype(jnp.uint8)
 
 
+def guide_s2d_sel(
+    frame_hw: tuple[int, int],
+    out_hw: tuple[int, int],
+    block: int,
+    channels: int = 3,
+    method: Method = "half_pixel",
+    planar: bool = False,
+):
+    """Static lane-tap indices for :func:`guide_from_s2d`, or ``None``
+    when the geometry does not decompose per-patch (callers must fall
+    back to the generic resize).  Exposed so the serving pipeline can
+    ride the taps on the matting stem matmul as extra one-hot columns
+    (models/quantized.py ``stem_aux_cols``) -- the packed frame tensor
+    is then read (and layout-converted) once instead of twice."""
+    fh, fw = frame_hw
+    oh, ow = out_hw
+    hp, wp = fh // block, fw // block
+    if (oh % hp) or (ow % wp):
+        raise ValueError(f"guide_from_s2d: {out_hw} not a multiple of {(hp, wp)}")
+    fy, fx = oh // hp, ow // wp
+
+    iy = _nearest_taps(oh, fh, method)
+    ix = _nearest_taps(ow, fw, method)
+    # taps must decompose as (patch row i, fixed per-parity offset)
+    offs_y = iy % block
+    offs_x = ix % block
+    ok_y = np.array_equal(iy // block, np.repeat(np.arange(hp), fy))
+    ok_x = np.array_equal(ix // block, np.repeat(np.arange(wp), fx))
+    per_y = np.array_equal(offs_y, np.tile(offs_y[:fy], hp))
+    per_x = np.array_equal(offs_x, np.tile(offs_x[:fx], wp))
+    if not (ok_y and ok_x and per_y and per_x):
+        return None
+    if planar:
+        # c-major lane order so the post-gather permute never touches
+        # a minormost channel axis
+        return (
+            np.arange(channels)[:, None, None]
+            + (offs_y[None, :fy, None] * block + offs_x[None, None, :fx])
+            * channels
+        ).reshape(-1)
+    return (
+        (offs_y[:fy, None, None] * block + offs_x[None, :fx, None]) * channels
+        + np.arange(channels)[None, None, :]
+    ).reshape(-1)
+
+
+def guide_from_gathered(
+    g: jnp.ndarray,
+    frame_hw: tuple[int, int],
+    out_hw: tuple[int, int],
+    block: int,
+    channels: int = 3,
+    planar: bool = False,
+) -> jnp.ndarray:
+    """Reassemble the :func:`guide_s2d_sel`-gathered lanes
+    ``[..., hp, wp, len(sel)]`` into the guide image (``[..., C, oh, ow]``
+    planar / ``[..., oh, ow, C]`` natural)."""
+    fh, fw = frame_hw
+    oh, ow = out_hw
+    hp, wp = fh // block, fw // block
+    fy, fx = oh // hp, ow // wp
+    *lead, _, _, _ = g.shape
+    nd = len(lead)
+    if planar:
+        g = g.reshape(*lead, hp, wp, channels, fy, fx)
+        g = g.transpose(*range(nd), nd + 2, nd, nd + 3, nd + 1, nd + 4)
+        return g.reshape(*lead, channels, oh, ow)
+    g = g.reshape(*lead, hp, wp, fy, fx, channels)
+    g = g.transpose(*range(nd), nd, nd + 2, nd + 1, nd + 3, nd + 4)
+    return g.reshape(*lead, oh, ow, channels)
+
+
 def guide_from_s2d(
     xp: jnp.ndarray,
     frame_hw: tuple[int, int],
@@ -100,54 +172,15 @@ def guide_from_s2d(
     lane axis stays wide for downstream planar math (no channel-minormost
     relayout; see multiclass_composite_s2d).
     """
-    fh, fw = frame_hw
-    oh, ow = out_hw
-    hp, wp = fh // block, fw // block
-    if (oh % hp) or (ow % wp):
-        raise ValueError(f"guide_from_s2d: {out_hw} not a multiple of {(hp, wp)}")
-    fy, fx = oh // hp, ow // wp
-
-    iy = _nearest_taps(oh, fh, method)
-    ix = _nearest_taps(ow, fw, method)
-    # taps must decompose as (patch row i, fixed per-parity offset)
-    offs_y = iy % block
-    offs_x = ix % block
-    ok_y = np.array_equal(iy // block, np.repeat(np.arange(hp), fy))
-    ok_x = np.array_equal(ix // block, np.repeat(np.arange(wp), fx))
-    per_y = np.array_equal(offs_y, np.tile(offs_y[:fy], hp))
-    per_x = np.array_equal(offs_x, np.tile(offs_x[:fx], wp))
-    if not (ok_y and ok_x and per_y and per_x):
+    sel = guide_s2d_sel(frame_hw, out_hw, block, channels, method, planar)
+    if sel is None:
         # fall back to the generic path for odd geometries
         g = _fallback_guide(xp, block, out_hw, method)
         if planar:
             g = jnp.moveaxis(g, -1, -3)
         return g
-
-    if planar:
-        # c-major lane order so the post-gather permute never touches
-        # a minormost channel axis
-        sel = (
-            np.arange(channels)[:, None, None]
-            + (offs_y[None, :fy, None] * block + offs_x[None, None, :fx])
-            * channels
-        ).reshape(-1)
-        g = _lane_select_u8(xp, sel)  # [..., hp, wp, C*fy*fx]
-        *lead, _, _, _ = g.shape
-        nd = len(lead)
-        g = g.reshape(*lead, hp, wp, channels, fy, fx)
-        g = g.transpose(*range(nd), nd + 2, nd, nd + 3, nd + 1, nd + 4)
-        return g.reshape(*lead, channels, oh, ow)
-
-    sel = (
-        (offs_y[:fy, None, None] * block + offs_x[None, :fx, None]) * channels
-        + np.arange(channels)[None, None, :]
-    ).reshape(-1)
-    g = _lane_select_u8(xp, sel)  # [..., hp, wp, fy*fx*C]
-    *lead, _, _, _ = g.shape
-    nd = len(lead)
-    g = g.reshape(*lead, hp, wp, fy, fx, channels)
-    g = g.transpose(*range(nd), nd, nd + 2, nd + 1, nd + 3, nd + 4)
-    return g.reshape(*lead, oh, ow, channels)
+    g = _lane_select_u8(xp, sel)  # [..., hp, wp, len(sel)]
+    return guide_from_gathered(g, frame_hw, out_hw, block, channels, planar)
 
 
 def _fallback_guide(xp, block, out_hw, method):

@@ -221,3 +221,11 @@ class PipelineStatics:
     # bilateral guide source: 'bilinear' (tf.js-parity resize of the f32
     # frame) or 'nearest_u8' (single-take u8 resample; fast path)
     guide_impl: str = "bilinear"
+    # ride the planar guide gather on the matting stem matmul as extra
+    # one-hot columns (bf16 stem only).  Bit-exact, but a NEGATIVE result
+    # on v5e (2026-08-18): XLA materializes the combined ~198 MB bf16 dot
+    # output instead of multi-output-fusing the stem-requant and aux-u8
+    # epilogues, and adds a 72 MB s8 copy of x0 — 6.07 ms vs 5.62 ms
+    # step at S=64 on fast_int8_pico.  Kept off by default as a pinned,
+    # tested option in case a future XLA fuses it.
+    guide_stem_aux: bool = False

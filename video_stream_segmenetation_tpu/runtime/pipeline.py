@@ -34,6 +34,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from video_stream_segmenetation_tpu import ops
 from video_stream_segmenetation_tpu.models.facemesh import NUM_LANDMARKS
@@ -420,9 +421,44 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             new_rec = out_m["state"]
         elif statics.matting_input == "native":
             # TPU-first: the model ingests uint8 frames; its strided stem
-            # IS the resize (see models/mattenet_hd.py)
-            alpha_raw = bundle.matte_model.apply(params["matte"], frames_u8)["alpha"]
-            if statics.guide_impl == "nearest_u8":
+            # IS the resize (see models/mattenet_hd.py).  Optionally the
+            # planar guide gather rides the stem matmul as extra one-hot
+            # columns so the packed frames are read -- and relayout-copied
+            # for the dot -- ONCE instead of twice.  Default OFF: measured
+            # slower on v5e (see PipelineStatics.guide_stem_aux).
+            guide_sel = None
+            if (
+                statics.guide_stem_aux
+                and s2d
+                and planar_guide
+                and getattr(bundle.matte_model, "supports_stem_aux", False)
+                and getattr(bundle.matte_model, "stem_impl", "bf16") == "bf16"
+            ):
+                guide_sel = ops.guide_s2d_sel(
+                    (fh, fw), (mh, mw), statics.s2d_block, planar=True
+                )
+            if guide_sel is not None:
+                onehot = np.zeros(
+                    (frames_u8.shape[-1], len(guide_sel)), np.float32
+                )
+                onehot[np.asarray(guide_sel), np.arange(len(guide_sel))] = 1.0
+                out_m = bundle.matte_model.apply(
+                    params["matte"], frames_u8,
+                    stem_aux_cols=jnp.asarray(onehot, jnp.bfloat16),
+                )
+                alpha_raw = out_m["alpha"]
+                guide_pl_u8 = ops.guide_from_gathered(
+                    out_m["stem_aux"], (fh, fw), (mh, mw), statics.s2d_block,
+                    planar=True,
+                )
+                small = None
+            else:
+                alpha_raw = bundle.matte_model.apply(
+                    params["matte"], frames_u8
+                )["alpha"]
+            if statics.guide_impl == "nearest_u8" and guide_sel is not None:
+                pass  # planar guide already gathered off the stem dot
+            elif statics.guide_impl == "nearest_u8":
                 if s2d and planar_guide:
                     # channel-leading u8 planes [S,3,mh,mw]: the fused
                     # kernel converts in VMEM and the face path gathers
