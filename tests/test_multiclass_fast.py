@@ -137,6 +137,62 @@ def test_multiclass_fast_preset():
     assert p.matting_decoder == "nano"
 
 
+def test_multiclass_fast_pico_preset():
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+
+    p = preset("multiclass_fast_pico")
+    assert p.num_classes == 4
+    assert p.frame_layout == "s2d"
+    assert p.matting_precision == "int8"
+    # must match the mattenet_hd10_mc_pico checkpoint's architecture
+    # (tools/train_variants.py::train_multiclass_hd: decoder='pico')
+    assert p.matting_decoder == "pico"
+
+
+def test_multiclass_pico_int8_matches_bf16(rng):
+    """K-class plan-F (decoder='pico') int8 graph tracks bf16 — the
+    multiclass megakernel route (fused_nano_trunk without the in-kernel
+    head, then the XLA int8 K-class head)."""
+    model = models.MatteNetHD(
+        stem_stride=10, head_upsample=4, num_classes=3, decoder="pico",
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 160, 3)))
+    from video_stream_segmenetation_tpu.models.quantized import (
+        QuantizedMatteNetHD,
+        quantize_mattenet_hd,
+    )
+
+    u8 = jnp.asarray((rng.random((2, 80, 160, 3)) * 255).astype(np.uint8))
+    packed = ops.space_to_depth(u8, 10)
+    ref = np.asarray(jax.jit(model.apply)(params, packed)["alpha"])
+    q = quantize_mattenet_hd(model, params)
+    for impl in ("xla", "trunk"):
+        qm = QuantizedMatteNetHD(
+            stem_stride=10, head_upsample=4, num_classes=3, decoder="pico",
+            decoder_impl=impl,
+        )
+        got = np.asarray(jax.jit(qm.apply)(q, packed)["alpha"])
+        assert got.shape == ref.shape
+        assert np.mean(np.abs(got - ref)) < 0.02, impl
+        np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-3)
+
+
+def test_multiclass_pico_s2d_engine_step(rng):
+    statics = runtime.PipelineStatics(
+        frame_hw=FRAME_HW, mask_hw=MASK_HW, fd_size=64, lmk_size=48,
+        num_classes=3, class_effects=EFFECTS,
+        matting_input="native", frame_layout="s2d", s2d_block=10,
+        matting_precision="int8", matting_decoder="pico", face_path=False,
+    )
+    eng = Engine(num_streams=2, statics=statics, donate_state=False)
+    frames = (rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8)
+    out = eng.process(frames)
+    assert out["frame"].shape == (2, *FRAME_HW, 3)
+    ca = np.asarray(out["class_alpha"])
+    assert ca.shape == (2, *MASK_HW, 3)
+    np.testing.assert_allclose(ca.sum(-1), 1.0, atol=1e-3)
+
+
 def test_multiclass_plan_c_int8_matches_bf16(rng):
     """K-class plan-C (decoder='light') int8 graph tracks bf16."""
     model = models.MatteNetHD(

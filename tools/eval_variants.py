@@ -53,6 +53,7 @@ CASES = [
     ("u2", "u2", {}, "u2net"),
     ("multiclass", "multiclass", {}, "mattenet_multiclass"),
     ("multiclass_fast", "multiclass_fast", {}, "mattenet_hd10_mc"),
+    ("multiclass_fast_pico", "multiclass_fast_pico", {}, "mattenet_hd10_mc_pico"),
 ]
 
 

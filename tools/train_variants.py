@@ -162,14 +162,14 @@ def train_multiclass(steps, hw=(288, 512), batch=12, k=4):
 
 
 def train_multiclass_hd(steps, hw=(720, 1280), batch=6, k=4,
-                        pre_hw=(240, 320), pre_batch=24):
-    """K-class MatteNetHD plan-E for the multiclass fast stack
-    (preset 'multiclass_fast'): pretrain small, fine-tune at 720p (the
-    mandatory serving-resolution phase, train/loop.py::fit).  The nano
-    trunk won the single-class quality/speed study (RESULTS.md) and the
-    same holds here."""
+                        pre_hw=(240, 320), pre_batch=24, decoder="nano"):
+    """K-class MatteNetHD for the multiclass fast stack (presets
+    'multiclass_fast' / 'multiclass_fast_pico'): pretrain small,
+    fine-tune at 720p (the mandatory serving-resolution phase,
+    train/loop.py::fit).  The nano/pico trunks won the single-class
+    quality/speed study (RESULTS.md) and the same holds here."""
     model = models.MatteNetHD(
-        stem_stride=10, head_upsample=4, num_classes=k, decoder="nano"
+        stem_stride=10, head_upsample=4, num_classes=k, decoder=decoder
     )
 
     def loss_at(hw_, batch_):
@@ -213,6 +213,10 @@ def main(steps=1200, only=None):
         ),
         "multiclass_hd": lambda: utils.save_params(
             os.path.join(OUT, "mattenet_hd10_mc"), train_multiclass_hd(steps)
+        ),
+        "multiclass_hd_pico": lambda: utils.save_params(
+            os.path.join(OUT, "mattenet_hd10_mc_pico"),
+            train_multiclass_hd(steps, decoder="pico"),
         ),
     }
     for name, job in jobs.items():

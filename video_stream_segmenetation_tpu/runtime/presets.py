@@ -190,6 +190,26 @@ _PRESETS = {
         resize_impl="mxu",
         face_path=False,
     ),
+    # config 5 on the pico trunk (the single-class headline winner --
+    # nano structure at deep widths 128/192; checkpoint
+    # mattenet_hd10_mc_pico, tools/train_variants.py job
+    # 'multiclass_hd_pico')
+    "multiclass_fast_pico": dict(
+        num_classes=4,
+        class_effects=(
+            {"blur": 8.0},
+            {"keep": True},
+            {"tint": (0.9, 0.7, 0.3), "strength": 0.3},
+            {"tint": (0.3, 0.5, 0.9), "strength": 0.3},
+        ),
+        matting_input="native",
+        frame_layout="s2d",
+        s2d_block=10,
+        matting_precision="int8",
+        matting_decoder="pico",
+        resize_impl="mxu",
+        face_path=False,
+    ),
 }
 
 
