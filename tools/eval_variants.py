@@ -92,6 +92,12 @@ def eval_case(preset_name, overrides, ckpt, n_frames):
 
     from video_stream_segmenetation_tpu import ops
 
+    # IoU/flicker are computed at a FIXED eval resolution so presets
+    # serving their class maps at different native resolutions (e.g.
+    # multiclass_fast_pico at the 72x128 stem grid) stay comparable;
+    # (288, 512) == the historical mask_hw, so existing numbers carry.
+    eh, ew = (288, 512)
+
     @jax.jit
     def make_frame(t, motion):
         frame, gt = device_clip(t, (fh, fw), motion, key)
@@ -99,13 +105,17 @@ def eval_case(preset_name, overrides, ckpt, n_frames):
         if statics.frame_layout == "s2d":
             fr = ops.space_to_depth(fr, statics.s2d_block)
         gt_small = ops.resize_bilinear(
-            gt[None], (mh, mw), method="half_pixel", channel_last=False
+            gt[None], (eh, ew), method="half_pixel", channel_last=False
         )[0]
         return fr, gt_small
 
     @jax.jit
     def metrics(alpha, gt_small, prev_alpha):
         a = alpha if alpha.ndim == 2 else 1.0 - alpha[..., 0]
+        if a.shape != (eh, ew):
+            a = ops.resize_bilinear(
+                a[None], (eh, ew), method="half_pixel", channel_last=False
+            )[0]
         p = a > 0.5
         r = gt_small > 0.5
         inter = jnp.sum(p & r)
@@ -118,7 +128,7 @@ def eval_case(preset_name, overrides, ckpt, n_frames):
     res = {}
     for mode, motion in (("moving", 1.5), ("static", 0.0)):
         state = eng.state
-        prev_a = jnp.zeros((mh, mw))
+        prev_a = jnp.zeros((eh, ew))
         ious, flicks = [], []
         for t in range(n_frames):
             fr, gt_small = make_frame(jnp.float32(t), jnp.float32(motion))

@@ -214,9 +214,11 @@ def _kernel(x0_ref, wd2dn_ref, md2dn_ref, wd2b_ref, md2b_ref,
                 ].reshape(bh, bw, c0)
         return
 
-    # ---- in-kernel int8 3x3 alpha head on the quad planes.
+    # ---- in-kernel int8 3x3 alpha head on the quad planes (K classes:
+    # the 16 quad columns widen to 16*K, column qo*K + k).
     va_ref, ma_ref, out_ref = refs
-    acc = jnp.zeros((m, 16), jnp.int32)
+    n = va_ref.shape[-1]
+    acc = jnp.zeros((m, n), jnp.int32)
     for ty in range(-1, 5):
         for tx in range(-1, 5):
             tap = _shift2(
@@ -224,7 +226,7 @@ def _kernel(x0_ref, wd2dn_ref, md2dn_ref, wd2b_ref, md2b_ref,
             )
             acc += _dot_i8(tap.reshape(m, c0), va_ref[ty + 1, tx + 1])
     logits = acc.astype(jnp.float32) * ma_ref[0] + ma_ref[1]
-    out_ref[0] = logits.reshape(bh, bw, 16)
+    out_ref[0] = logits.reshape(bh, bw, n)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "head"))
@@ -244,11 +246,12 @@ def _run(x0q, *consts, interpret, head):
         )
 
     if head:
+        n = consts[-2].shape[-1]  # va [6, 6, c0, 16*K]
         out_spec = pl.BlockSpec(
-            (1, bh, bw, 16), lambda i: (i, 0, 0, 0),
+            (1, bh, bw, n), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        out_shape = jax.ShapeDtypeStruct((s, bh, bw, 16), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((s, bh, bw, n), jnp.float32)
     else:
         out_spec = pl.BlockSpec(
             (1, bh, 4, bw, l), lambda i: (i, 0, 0, 0, 0),
@@ -320,45 +323,61 @@ def fused_nano_trunk_alpha_q(x0q, q, interpret=None):
     c0 = l // 4
     h, w = bh * 4, bw * 4
     va, ma = _alpha_head_consts(q, c0)
+    k = q["alpha_q"]["wq"].shape[-1]
     out = _run(x0q, *_trunk_consts(q), va, ma,
-               interpret=interpret, head=True)  # [S, bh, bw, 16]
-    # unfold quad logits -> [S, H, W] (4.7 MB f32 transpose; negligible)
+               interpret=interpret, head=True)  # [S, bh, bw, 16*K]
+    # unfold quad logits -> [S, H, W(, K)] (4.7 MB f32 transpose at K=1;
+    # negligible)
+    if k == 1:
+        return (
+            out.reshape(s, bh, bw, 4, 4)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(s, h, w)
+        )
     return (
-        out.reshape(s, bh, bw, 4, 4)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(s, h, w)
+        out.reshape(s, bh, bw, 4, 4, k)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(s, h, w, k)
     )
 
 
 def _alpha_head_consts(q, c0):
-    wq = q["alpha_q"]["wq"]  # [3, 3, c0, 1]
-    if wq.shape[-1] != 1:
-        raise ValueError("fused alpha head supports num_classes == 1 only")
-    # va[tyc, txc, :, qo] = walpha[tyc - qy, txc - qx] (or 0 outside the
-    # 3x3 window), qo = 4*qy + qx -- see _kernel docstring.
-    wpad = jnp.pad(wq[..., 0], ((3, 3), (3, 3), (0, 0)))  # [9, 9, c0]
+    wq = q["alpha_q"]["wq"]  # [3, 3, c0, K]
+    k = wq.shape[-1]
+    # va[tyc, txc, :, qo*K + kc] = walpha[tyc - qy, txc - qx, :, kc] (or 0
+    # outside the 3x3 window), qo = 4*qy + qx -- see _kernel docstring.
+    # K classes widen the quad columns; the dot stays a single [m, c0] @
+    # [c0, 16*K] (64 lanes at K=4 -- still one MXU pass).
+    wpad = jnp.pad(wq, ((3, 3), (3, 3), (0, 0), (0, 0)))  # [9, 9, c0, K]
     va = jnp.stack([
         jnp.stack([
-            jnp.stack([
+            jnp.concatenate([
                 wpad[tyc - (qo // 4) + 3, txc - (qo % 4) + 3]
                 for qo in range(16)
             ], axis=-1)
             for txc in range(6)
         ])
         for tyc in range(6)
-    ])  # [6, 6, c0, 16]
+    ])  # [6, 6, c0, 16*K]
+    mult = jnp.asarray(q["alpha_q"]["mult"], jnp.float32).reshape(-1)
+    bias = jnp.asarray(q["alpha_q"]["bias"], jnp.float32).reshape(-1)
+    if mult.shape[0] == 1 and k > 1:
+        mult = jnp.broadcast_to(mult, (k,))
+    if bias.shape[0] == 1 and k > 1:
+        bias = jnp.broadcast_to(bias, (k,))
     ma = jnp.stack([
-        jnp.broadcast_to(jnp.asarray(q["alpha_q"]["mult"], jnp.float32).reshape(-1)[:1], (16,)),
-        jnp.broadcast_to(jnp.asarray(q["alpha_q"]["bias"], jnp.float32).reshape(-1)[:1], (16,)),
+        jnp.tile(mult, 16),  # column qo*K + kc -> per-class epilogue
+        jnp.tile(bias, 16),
     ])
     return va, ma
 
 
 def fused_nano_trunk_alpha(x0, q, interpret=None):
     """As :func:`fused_nano_trunk`, but with the int8 3x3 alpha head
-    (single class) fused in -- u1 never leaves VMEM.  Returns the alpha
-    LOGITS at u1 resolution, [S, H, W] f32 (exact s32 conv + the same
-    f32 epilogue as models/quantized.py::_conv_i8)."""
+    fused in -- u1 never leaves VMEM.  Returns the alpha LOGITS at u1
+    resolution, [S, H, W] f32 for one class / [S, H, W, K] for K classes
+    (exact s32 conv + the same f32 epilogue as
+    models/quantized.py::_conv_i8)."""
     s, h, w, c0 = x0.shape
     x0q = x0.reshape(s, h // 4, 4, w // 4, 4 * c0)
     return fused_nano_trunk_alpha_q(x0q, q, interpret=interpret)

@@ -421,8 +421,7 @@ class QuantizedMatteNetHD:
                 fused_nano_trunk_alpha_q,
             )
 
-            if (self.head_impl == "int8" and "alpha_q" in q
-                    and self.num_classes == 1):
+            if self.head_impl == "int8" and "alpha_q" in q:
                 # alpha head fused in too: u1 never leaves VMEM.  u1
                 # below only feeds det (XLA mirror, DCE'd in serving).
                 # (Negative result, kept for the record: re-running the
@@ -433,7 +432,9 @@ class QuantizedMatteNetHD:
                 sb, hp, wp, _ = x.shape
                 c0 = x0.shape[-1]
                 x0q = x0.reshape(sb, hp // 4, 4, wp // 4, 4 * c0)
-                alpha_logit = fused_nano_trunk_alpha_q(x0q, q)[..., None]
+                alpha_logit = fused_nano_trunk_alpha_q(x0q, q)
+                if self.num_classes == 1:
+                    alpha_logit = alpha_logit[..., None]
                 u1 = split_conv_up(
                     split_conv_up(ctx, d2, q["u2red"]), b1, q["u1red"]
                 )
@@ -478,18 +479,23 @@ class QuantizedMatteNetHD:
         uf = self.head_upsample
         h0, w0 = alpha_logit.shape[-3], alpha_logit.shape[-2]
         k = self.num_classes
-        al = jnp.stack(
-            [
-                resize_bilinear_mxu(
-                    alpha_logit[..., c].astype(jnp.float32),
-                    (uf * h0, uf * w0),
-                    method="half_pixel", channel_last=False,
-                    precision=jax.lax.Precision.DEFAULT,
-                )
-                for c in range(k)
-            ],
-            axis=-1,
-        )
+        if uf == 1:
+            # native-head-res serving (mask_hw == stem grid): the
+            # identity resize is K planar matmul pairs for nothing
+            al = alpha_logit.astype(jnp.float32)
+        else:
+            al = jnp.stack(
+                [
+                    resize_bilinear_mxu(
+                        alpha_logit[..., c].astype(jnp.float32),
+                        (uf * h0, uf * w0),
+                        method="half_pixel", channel_last=False,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+                    for c in range(k)
+                ],
+                axis=-1,
+            )
         if k == 1:
             out = {
                 "alpha": jax.nn.sigmoid(al[..., 0].astype(jnp.float32)),

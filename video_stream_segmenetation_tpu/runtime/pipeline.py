@@ -304,10 +304,19 @@ def make_multiclass_step(bundle: ModelBundle, statics: PipelineStatics):
         prev = ca if isinstance(state.rec, tuple) else state.rec
         kk = knobs.ema[:, None, None, None]
         init = state.initialized[:, None, None, None]
-        blended = jnp.where(init, kk * prev + (1 - kk) * ca, ca)
-        blended = blended / jnp.maximum(blended.sum(-1, keepdims=True), 1e-6)
+        if "model_only" in statics.debug_stage:
+            # bench-only attribution: raw class maps straight through
+            # (cost(EMA + renorm) = full - this, holding composite fixed)
+            blended = ca
+        else:
+            blended = jnp.where(init, kk * prev + (1 - kk) * ca, ca)
+            blended = blended / jnp.maximum(
+                blended.sum(-1, keepdims=True), 1e-6
+            )
 
-        if s2d:
+        if "no_composite" in statics.debug_stage:
+            out_u8 = frames_u8  # bench-only: passthrough output
+        elif s2d:
             out_u8 = ops.multiclass_composite_s2d(
                 frames_u8, blended, effects, (fh, fw), statics.s2d_block,
                 method=statics.upsample_method,

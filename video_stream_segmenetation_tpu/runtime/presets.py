@@ -205,6 +205,15 @@ _PRESETS = {
         matting_input="native",
         frame_layout="s2d",
         s2d_block=10,
+        # serve the class simplex at the NATIVE head resolution (the
+        # 72x128 stem grid, head_upsample=1): the K-class maps carry no
+        # information above it (the 288x512 variant is itself a bilinear
+        # upsample of the same logits), while EMA + renorm + the
+        # composite's field contractions all scale with mask_hw -- at
+        # 288x512 the composite alone measured 17.7 of the 22.9 ms step
+        # (tools/bench_step_ablate.py, 2026-08-18).  The composite
+        # upsamples ONCE, 72 -> 720, inside multiclass_composite_s2d.
+        mask_hw=(72, 128),
         matting_precision="int8",
         matting_decoder="pico",
         resize_impl="mxu",
