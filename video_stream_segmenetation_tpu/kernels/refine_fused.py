@@ -83,27 +83,32 @@ def _guide_bf16(g):
 
 
 def _chain_body(i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
-                has_prior_ref, a, g_r, g_g, g_b, prior):
-    """Stages 5/7/8/9 on one [H, W] plane (shared by both kernels)."""
+                has_prior_ref, a, g_r, g_g, g_b, prior, debug=()):
+    """Stages 5/7/8/9 on one [H, W] plane (shared by both kernels).
+
+    debug: bench-only stage truncations ('no_morph' skips stages 5/7,
+    'no_bilateral' skips stage 8) -- compile-time, attribution only.
+    """
     g_r, g_g, g_b = _guide_bf16(g_r), _guide_bf16(g_g), _guide_bf16(g_b)
     h, w = a.shape
     has_prior = has_prior_ref[i] > 0
 
-    # ---- stage 5: opening (interior-only, zero borders; morphology.py)
-    eroded = _interior_only(jnp.minimum(_min3x3_interior(a), 1.0), h, w)
-    opened = _interior_only(jnp.maximum(_max3x3_interior(eroded), 0.0), h, w)
+    if "no_morph" not in debug:
+        # ---- stage 5: opening (interior-only, zero borders; morphology.py)
+        eroded = _interior_only(jnp.minimum(_min3x3_interior(a), 1.0), h, w)
+        opened = _interior_only(jnp.maximum(_max3x3_interior(eroded), 0.0), h, w)
 
-    # ---- stage 7: closing inside the prior (full-size selects against an
-    # iota interior mask -- center-slice pads crash Mosaic)
-    interior = _interior_mask(h, w)
-    in_prior = interior & (prior > 0)
-    dil_f = _interior_only(jnp.maximum(_max3x3_interior(opened), 0.0), h, w)
-    dilated = jnp.where(
-        in_prior, dil_f, jnp.where(interior, opened, 0.0)
-    )
-    ero_f = _interior_only(jnp.minimum(_min3x3_interior(dilated), 1.0), h, w)
-    closed = jnp.where(in_prior, ero_f, dilated)
-    a = jnp.where(has_prior, closed, opened)
+        # ---- stage 7: closing inside the prior (full-size selects against
+        # an iota interior mask -- center-slice pads crash Mosaic)
+        interior = _interior_mask(h, w)
+        in_prior = interior & (prior > 0)
+        dil_f = _interior_only(jnp.maximum(_max3x3_interior(opened), 0.0), h, w)
+        dilated = jnp.where(
+            in_prior, dil_f, jnp.where(interior, opened, 0.0)
+        )
+        ero_f = _interior_only(jnp.minimum(_min3x3_interior(dilated), 1.0), h, w)
+        closed = jnp.where(in_prior, ero_f, dilated)
+        a = jnp.where(has_prior, closed, opened)
 
     # ---- stage 8: joint bilateral 3x3 (self-normalizing at edges)
     ss = ss_ref[i]
@@ -130,32 +135,33 @@ def _chain_body(i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
             return jnp.pad(t[:, dx:], ((0, 0), (0, dx)))
         return jnp.pad(t[:, :dx], ((0, 0), (-dx, 0)))
 
-    ones = jnp.ones((h, w), jnp.bfloat16)
-    sum_w = jnp.zeros((h, w), jnp.float32)
-    sum_a = jnp.zeros((h, w), jnp.float32)
-    for dy in (-1, 0, 1):
-        a_y = vshift(a, dy)
-        r_y = vshift(g_r, dy)
-        gy_y = vshift(g_g, dy)
-        b_y = vshift(g_b, dy)
-        v_y = vshift(ones, dy)
-        for dx in (-1, 0, 1):
-            a_n = hshift(a_y, dx)
-            dr = (hshift(r_y, dx) - g_r).astype(jnp.float32)
-            dg = (hshift(gy_y, dx) - g_g).astype(jnp.float32)
-            db = (hshift(b_y, dx) - g_b).astype(jnp.float32)
-            v_n = hshift(v_y, dx)
-            range2 = dr * dr + dg * dg + db * db
-            spatial2 = jnp.float32(dy * dy + dx * dx)
-            wgt = (
-                jnp.exp(-spatial2 * inv_two_ss2)
-                * jnp.exp(-range2 * inv_two_sr2)
-                * v_n
-            )
-            sum_w = sum_w + wgt
-            sum_a = sum_a + wgt * a_n
-    a_bi = sum_a / sum_w
-    a = jnp.where(use_bi_ref[i] > 0, a_bi, a)
+    if "no_bilateral" not in debug:
+        ones = jnp.ones((h, w), jnp.bfloat16)
+        sum_w = jnp.zeros((h, w), jnp.float32)
+        sum_a = jnp.zeros((h, w), jnp.float32)
+        for dy in (-1, 0, 1):
+            a_y = vshift(a, dy)
+            r_y = vshift(g_r, dy)
+            gy_y = vshift(g_g, dy)
+            b_y = vshift(g_b, dy)
+            v_y = vshift(ones, dy)
+            for dx in (-1, 0, 1):
+                a_n = hshift(a_y, dx)
+                dr = (hshift(r_y, dx) - g_r).astype(jnp.float32)
+                dg = (hshift(gy_y, dx) - g_g).astype(jnp.float32)
+                db = (hshift(b_y, dx) - g_b).astype(jnp.float32)
+                v_n = hshift(v_y, dx)
+                range2 = dr * dr + dg * dg + db * db
+                spatial2 = jnp.float32(dy * dy + dx * dx)
+                wgt = (
+                    jnp.exp(-spatial2 * inv_two_ss2)
+                    * jnp.exp(-range2 * inv_two_sr2)
+                    * v_n
+                )
+                sum_w = sum_w + wgt
+                sum_a = sum_a + wgt * a_n
+        a_bi = sum_a / sum_w
+        a = jnp.where(use_bi_ref[i] > 0, a_bi, a)
 
     # ---- stage 9: threshold/gamma + prior clamps (refine.py)
     low = low_ref[i]
@@ -221,6 +227,7 @@ def _temporal_refine_kernel(
     prior_ref,
     newprev_ref,  # out: [1, H, W] updated EMA accumulator
     out_ref,  # out: [1, H, W] refined alpha
+    debug=(),  # bench-only truncation tokens (bound via functools.partial)
 ):
     """Stages 3+4 (separable warp via one-hot MXU matmuls + EMA) fused in
     front of the refinement chain -- the whole post-model mask path
@@ -261,7 +268,7 @@ def _temporal_refine_kernel(
     out_ref[0] = _chain_body(
         i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
         has_prior_ref, new_prev, gr_ref[0], gg_ref[0], gb_ref[0],
-        prior_ref[0],
+        prior_ref[0], debug=debug,
     )
 
 
@@ -349,8 +356,12 @@ def fused_temporal_refine(
     has_prior: jnp.ndarray,
     interpret: bool | None = None,
     guide_planar: bool = False,
+    debug: tuple = (),
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Stages 3-9 in one kernel.  Returns (new_prev, refined_alpha).
+
+    debug: bench-only in-kernel truncation tokens ('no_morph',
+    'no_bilateral') for stage attribution -- never set in production.
 
     The warp is the separable (scale+translate) fast path, computed as
     one-hot selection matmuls inside the kernel; index vectors are
@@ -405,7 +416,7 @@ def fused_temporal_refine(
             vmem_limit_bytes=64 * 1024 * 1024,
         )
     new_prev, refined = pl.pallas_call(
-        _temporal_refine_kernel,
+        functools.partial(_temporal_refine_kernel, debug=tuple(debug)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((s, h, w), jnp.float32),

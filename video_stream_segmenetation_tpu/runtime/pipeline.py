@@ -108,9 +108,26 @@ def _face_subpath(bundle, params, frames_f32, fire, statics: PipelineStatics):
     )
     det_ok = fire & det_valid & (score >= statics.face_score_thresh)
 
+    if "fd_only" in statics.debug_stage:
+        # bench-only attribution: detector alone (prior render + ROI +
+        # landmarks + Procrustes all skipped)
+        z = jnp.zeros((s,), jnp.float32)
+        return (
+            jnp.zeros((s, mh, mw), jnp.float32), det_ok & False,
+            jnp.zeros((s, 6), jnp.float32), det_ok & False,
+            jnp.where(fire, score, z),
+        )
+
     # -- elliptical prior (frameProcessorTest.ts:136)
     prior = ops.face_prior_mask(box, (fh, fw), (mh, mw))
     prior = jnp.where(det_ok[:, None, None], prior, 0.0)
+
+    if "no_lmk" in statics.debug_stage:
+        # bench-only attribution: detector + prior, no landmark branch
+        return (
+            prior, det_ok, jnp.zeros((s, 6), jnp.float32), det_ok & False,
+            jnp.where(fire, score, 0.0),
+        )
 
     # -- ROI crop + landmarks (:139-143)
     roi = pad_box(box, statics.roi_pad, (fh, fw))
@@ -575,15 +592,24 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 fused_temporal_refine,
             )
 
+            kdebug = tuple(
+                t for t in ("no_morph", "no_bilateral")
+                if t in statics.debug_stage
+            )
+            kguide = guide_pl_u8 if planar_guide else guide
+            if "no_guide" in statics.debug_stage and planar_guide:
+                # bench-only: constant guide -- the gather off the packed
+                # frames is DCE'd, attributing its cost
+                kguide = jnp.zeros_like(kguide)
             new_prev, a = fused_temporal_refine(
                 alpha_raw, state.prev_alpha, state.affine,
                 state.has_affine & state.initialized, state.initialized,
                 statics.warp_blend_weight,
-                guide_pl_u8 if planar_guide else guide, prior,
+                kguide, prior,
                 knobs.ema, knobs.noise_cutoff, knobs.high_threshold,
                 knobs.gamma, knobs.use_bilateral, knobs.sigma_spatial,
                 knobs.sigma_range, has_prior,
-                guide_planar=planar_guide,
+                guide_planar=planar_guide, debug=kdebug,
             )
             base = None  # consumed inside the kernel
         else:
