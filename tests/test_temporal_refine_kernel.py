@@ -118,6 +118,59 @@ def test_fused_temporal_refine_planar_guide_matches_hwc(data, rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_fused_temporal_refine_analytic_prior_matches_plane(data):
+    """prior_params (in-kernel ellipse rasterization) must match the
+    plane-fed prior exactly: same formula, f32, interpret mode."""
+    alpha_raw, prev, affine, guide, prior = data
+    box = jnp.asarray([[30.0, 20.0, 90.0, 70.0]] * S)
+    pp = ops.face_prior_params(box, (96, 160), (H, W))
+    knobs = runtime.default_knobs(S)
+    use_warp = jnp.asarray([True, False])
+    init = jnp.asarray([True, True])
+    has_prior = jnp.asarray([True, False])
+    args = (
+        knobs.ema, knobs.noise_cutoff, knobs.high_threshold, knobs.gamma,
+        knobs.use_bilateral, knobs.sigma_spatial, knobs.sigma_range,
+        has_prior,
+    )
+    want_prev, want = fused_temporal_refine(
+        alpha_raw, prev, affine, use_warp, init, 0.3, guide, prior, *args,
+        interpret=True,
+    )
+    got_prev, got = fused_temporal_refine(
+        alpha_raw, prev, affine, use_warp, init, 0.3, guide, None, *args,
+        interpret=True, prior_params=pp,
+    )
+    np.testing.assert_array_equal(np.asarray(got_prev), np.asarray(want_prev))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_engine_analytic_prior_matches_plane(rng):
+    """prior_impl='auto' (analytic in-kernel prior) == prior_impl='plane'
+    through the full engine step (interpret kernel on CPU)."""
+    import dataclasses
+
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+    from video_stream_segmenetation_tpu.service import Engine
+
+    kw = dict(
+        frame_hw=(80, 160), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", use_fused_refine=True,
+    )
+    st_an = preset("fast_int8_micro", prior_impl="auto", **kw)
+    st_pl = preset("fast_int8_micro", prior_impl="plane", **kw)
+    frames = (rng.random((2, 80, 160, 3)) * 255).astype(np.uint8)
+    outs = []
+    for st in (st_an, st_pl):
+        eng = Engine(num_streams=2, statics=st, rng_seed=0, donate_state=False)
+        eng.admit(); eng.admit()
+        for _ in range(3):
+            out = eng.process(frames)
+        assert out["metrics"]["health"]["state"] == "ok"
+        outs.append(np.asarray(out["alpha"]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_engine_planar_guide_branch(rng):
     """fast_int8_micro with use_fused_refine=True routes the planar-u8
     guide end to end (interpret kernel on CPU) and matches the XLA-chain

@@ -229,10 +229,78 @@ def _temporal_refine_kernel(
     out_ref,  # out: [1, H, W] refined alpha
     debug=(),  # bench-only truncation tokens (bound via functools.partial)
 ):
+    """Plane-fed prior variant: prior rides as a [1, H, W] VMEM ref."""
+    i = pl.program_id(0)
+    _tr_body(
+        i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
+        has_prior_ref, ema_ref, use_warp_ref, init_ref, wb_ref,
+        alpha_ref, prev_ref, idx_ref, gr_ref, gg_ref, gb_ref,
+        prior_ref[0], newprev_ref, out_ref, debug,
+    )
+
+
+def _temporal_refine_kernel_analytic(
+    # scalar-prefetch refs (prior rides as 4 scalars per stream)
+    low_ref,
+    high_ref,
+    gamma_ref,
+    use_bi_ref,
+    ss_ref,
+    sr_ref,
+    has_prior_ref,
+    ema_ref,
+    use_warp_ref,
+    init_ref,
+    wb_ref,
+    pcx_ref,  # [S] prior ellipse center x (mask px)
+    pcy_ref,
+    prx_ref,  # [S] prior ellipse radii (>= 1e-6)
+    pry_ref,
+    # tensor refs
+    alpha_ref,
+    prev_ref,
+    idx_ref,
+    gr_ref,
+    gg_ref,
+    gb_ref,
+    newprev_ref,
+    out_ref,
+    debug=(),
+):
+    """Analytic-prior variant: the soft ellipse is rasterized in VMEM
+    from 4 SMEM scalars (ops/prior.py::prior_plane_from_params) -- the
+    [S, H, W] f32 prior plane never exists in HBM (saves the face-path
+    scatter write + the kernel read, ~75 MB/step at S=64)."""
+    from video_stream_segmenetation_tpu.ops.prior import (
+        prior_plane_from_params,
+    )
+
+    i = pl.program_id(0)
+    h, w = alpha_ref.shape[1], alpha_ref.shape[2]
+    prior = jnp.where(
+        has_prior_ref[i] > 0,
+        prior_plane_from_params(
+            pcx_ref[i], pcy_ref[i], prx_ref[i], pry_ref[i], (h, w)
+        ),
+        jnp.zeros((h, w), jnp.float32),
+    )
+    _tr_body(
+        i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
+        has_prior_ref, ema_ref, use_warp_ref, init_ref, wb_ref,
+        alpha_ref, prev_ref, idx_ref, gr_ref, gg_ref, gb_ref,
+        prior, newprev_ref, out_ref, debug,
+    )
+
+
+def _tr_body(
+    i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
+    has_prior_ref, ema_ref, use_warp_ref, init_ref, wb_ref,
+    alpha_ref, prev_ref, idx_ref, gr_ref, gg_ref, gb_ref,
+    prior, newprev_ref, out_ref, debug,
+):
     """Stages 3+4 (separable warp via one-hot MXU matmuls + EMA) fused in
     front of the refinement chain -- the whole post-model mask path
     (reference stages 3-9) in one VMEM-resident program."""
-    i = pl.program_id(0)
     h, w = alpha_ref.shape[1], alpha_ref.shape[2]
     a_raw = alpha_ref[0]
     prev = prev_ref[0]
@@ -268,7 +336,7 @@ def _temporal_refine_kernel(
     out_ref[0] = _chain_body(
         i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
         has_prior_ref, new_prev, gr_ref[0], gg_ref[0], gb_ref[0],
-        prior_ref[0], debug=debug,
+        prior, debug=debug,
     )
 
 
@@ -357,11 +425,17 @@ def fused_temporal_refine(
     interpret: bool | None = None,
     guide_planar: bool = False,
     debug: tuple = (),
+    prior_params: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Stages 3-9 in one kernel.  Returns (new_prev, refined_alpha).
 
     debug: bench-only in-kernel truncation tokens ('no_morph',
     'no_bilateral') for stage attribution -- never set in production.
+
+    prior_params: optional [S, 4] (cx, cy, rx, ry) mask-space ellipse
+    scalars (ops/prior.py::face_prior_params).  When given, ``prior`` is
+    IGNORED and the soft ellipse is rasterized inside the kernel -- the
+    full prior plane never exists in HBM.
 
     The warp is the separable (scale+translate) fast path, computed as
     one-hot selection matmuls inside the kernel; index vectors are
@@ -403,10 +477,14 @@ def fused_temporal_refine(
 
     plane = pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0))
     idx_spec = pl.BlockSpec((1, 8, w), lambda i, *_: (i, 0, 0))
+    analytic = prior_params is not None
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
+        num_scalar_prefetch=15 if analytic else 11,
         grid=(s,),
-        in_specs=[plane, plane, idx_spec, plane, plane, plane, plane],
+        in_specs=(
+            [plane, plane, idx_spec, plane, plane, plane]
+            + ([] if analytic else [plane])
+        ),
         out_specs=[plane, plane],
     )
     kwargs = {}
@@ -415,16 +493,7 @@ def fused_temporal_refine(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=64 * 1024 * 1024,
         )
-    new_prev, refined = pl.pallas_call(
-        functools.partial(_temporal_refine_kernel, debug=tuple(debug)),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((s, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((s, h, w), jnp.float32),
-        ],
-        interpret=interpret,
-        **kwargs,
-    )(
+    scalars = [
         jnp.asarray(knobs_low, jnp.float32),
         jnp.asarray(knobs_high, jnp.float32),
         jnp.asarray(knobs_gamma, jnp.float32),
@@ -436,12 +505,32 @@ def fused_temporal_refine(
         jnp.asarray(use_warp, jnp.int32),
         jnp.asarray(initialized, jnp.int32),
         jnp.full((s,), warp_blend, jnp.float32),
+    ]
+    if analytic:
+        pp = jnp.asarray(prior_params, jnp.float32)
+        scalars += [pp[:, 0], pp[:, 1], pp[:, 2], pp[:, 3]]
+    tensors = [
         alpha_raw.astype(jnp.float32),
         prev_alpha.astype(jnp.float32),
         aux,
         g0,
         g1,
         g2,
-        prior.astype(jnp.float32),
+    ]
+    if not analytic:
+        tensors.append(prior.astype(jnp.float32))
+    kernel_fn = (
+        _temporal_refine_kernel_analytic if analytic
+        else _temporal_refine_kernel
     )
+    new_prev, refined = pl.pallas_call(
+        functools.partial(kernel_fn, debug=tuple(debug)),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((s, h, w), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*scalars, *tensors)
     return new_prev, refined

@@ -39,7 +39,11 @@ from video_stream_segmenetation_tpu.ops.warp import (  # noqa: F401
     warp_translate,
 )
 from video_stream_segmenetation_tpu.ops.refine import refine_alpha  # noqa: F401
-from video_stream_segmenetation_tpu.ops.prior import face_prior_mask  # noqa: F401
+from video_stream_segmenetation_tpu.ops.prior import (  # noqa: F401
+    face_prior_mask,
+    face_prior_params,
+    prior_plane_from_params,
+)
 from video_stream_segmenetation_tpu.ops.geometry import (  # noqa: F401
     estimate_similarity_transform,
     affine_video_to_mask,

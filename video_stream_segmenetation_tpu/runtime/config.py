@@ -133,6 +133,12 @@ class PipelineStatics:
     # Pallas fused stencil chain: True / False / 'auto' (= on TPU only;
     # elsewhere the XLA chain runs -- the pallas interpreter is too slow)
     use_fused_refine: Any = "auto"
+    # face-prior lowering on the fused temporal+refine path: 'auto' =
+    # analytic (the soft ellipse is rasterized in VMEM from 4 scalars,
+    # ops/prior.py::face_prior_params -- the [S,mh,mw] f32 plane never
+    # exists in HBM); 'plane' forces the rendered+scattered plane (the
+    # XLA chain always uses the plane)
+    prior_impl: str = "auto"
     # Pallas fused composite (upsample+blend+u8). Default OFF: measured
     # slightly slower than the XLA mxu-upsample composite at S=64 (34.2 vs
     # 32.3 ms/step -- the interp-weight blocks refetch per grid step);

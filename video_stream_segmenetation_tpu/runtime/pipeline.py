@@ -86,16 +86,23 @@ def _letterbox_to_square(
     return jnp.pad(small, pads)
 
 
-def _face_subpath(bundle, params, frames_f32, fire, statics: PipelineStatics):
+def _face_subpath(bundle, params, frames_f32, fire, statics: PipelineStatics,
+                  prior_form: str = "plane"):
     """Batched stage 6: detector -> prior -> ROI -> landmarks -> affine.
 
     fire: [S] bool -- the per-stream cadence+gate decision.
-    Returns (prior [S,h,w], has_prior [S], affine_update [S,6],
-    has_update [S], det_score [S]).
+    Returns (prior, has_prior [S], affine_update [S,6], has_update [S],
+    det_score [S]).  prior is [S,h,w] (prior_form='plane') or [S,4]
+    ellipse scalars for in-kernel rasterization (prior_form='params';
+    values are only meaningful where has_prior -- the kernel gates).
     """
     s = frames_f32.shape[0]
     mh, mw = statics.mask_hw
     fh, fw = statics.frame_hw
+    zero_prior = (
+        jnp.zeros((s, 4), jnp.float32) if prior_form == "params"
+        else jnp.zeros((s, mh, mw), jnp.float32)
+    )
 
     # -- detector @ fd_size, letterboxed (the *intended* behavior; the
     # reference's active file has the letterboxMap bug, SURVEY.md App. A)
@@ -113,14 +120,17 @@ def _face_subpath(bundle, params, frames_f32, fire, statics: PipelineStatics):
         # landmarks + Procrustes all skipped)
         z = jnp.zeros((s,), jnp.float32)
         return (
-            jnp.zeros((s, mh, mw), jnp.float32), det_ok & False,
+            zero_prior, det_ok & False,
             jnp.zeros((s, 6), jnp.float32), det_ok & False,
             jnp.where(fire, score, z),
         )
 
     # -- elliptical prior (frameProcessorTest.ts:136)
-    prior = ops.face_prior_mask(box, (fh, fw), (mh, mw))
-    prior = jnp.where(det_ok[:, None, None], prior, 0.0)
+    if prior_form == "params":
+        prior = ops.face_prior_params(box, (fh, fw), (mh, mw))
+    else:
+        prior = ops.face_prior_mask(box, (fh, fw), (mh, mw))
+        prior = jnp.where(det_ok[:, None, None], prior, 0.0)
 
     if "no_lmk" in statics.debug_stage:
         # bench-only attribution: detector + prior, no landmark branch
@@ -164,7 +174,7 @@ def _face_subpath(bundle, params, frames_f32, fire, statics: PipelineStatics):
 
 def _face_subpath_compact(
     bundle, params, frames, state, statics, face_gate, s2d_block=None,
-    src_planar=False,
+    src_planar=False, prior_form: str = "plane",
 ):
     """Cadence-compacted stage 6: gather the <= K streams whose cadence
     fires this step (K = ceil(S / lmk_interval) with staggered admission,
@@ -199,7 +209,10 @@ def _face_subpath_compact(
 
     k = statics.face_batch or max(1, -(-s // statics.lmk_interval))
     if k >= s:
-        return _face_subpath(bundle, params, to_f32(frames), fire, statics)
+        return _face_subpath(
+            bundle, params, to_f32(frames), fire, statics,
+            prior_form=prior_form,
+        )
 
     (idxs,) = jnp.where(fire, size=k, fill_value=s)
     sel_valid = idxs < s
@@ -209,11 +222,14 @@ def _face_subpath_compact(
     f_sel = to_f32(jnp.take(frames, safe, axis=0))
 
     prior_k, has_prior_k, aff_k, has_upd_k, score_k = _face_subpath(
-        bundle, params, f_sel, sel_valid, statics
+        bundle, params, f_sel, sel_valid, statics, prior_form=prior_form
     )
 
     # scatter back (OOB fill index s is dropped by jnp scatter semantics)
-    prior = jnp.zeros((s, mh, mw), jnp.float32).at[idxs].set(prior_k)
+    if prior_form == "params":
+        prior = jnp.zeros((s, 4), jnp.float32).at[idxs].set(prior_k)
+    else:
+        prior = jnp.zeros((s, mh, mw), jnp.float32).at[idxs].set(prior_k)
     has_prior = jnp.zeros((s,), bool).at[idxs].set(has_prior_k)
     affine_update = jnp.zeros((s, 6), jnp.float32).at[idxs].set(aff_k)
     has_update = jnp.zeros((s,), bool).at[idxs].set(has_upd_k)
@@ -412,6 +428,12 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         and statics.temporal_filter == "ema"
         and statics.warp_blend_mode == "lerp"
     )
+    # analytic prior: on the fused kernel path the face prior rides as 4
+    # scalars per stream and is rasterized in VMEM -- the [S,mh,mw] f32
+    # plane (render + scatter + kernel read, ~75 MB/step at S=64) never
+    # exists (ops/prior.py::face_prior_params, kernels/refine_fused.py)
+    analytic_prior = use_fused_tr and statics.prior_impl != "plane"
+    prior_form = "params" if analytic_prior else "plane"
     planar_guide = (
         use_fused_tr
         and s2d
@@ -553,7 +575,9 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
              ) = _face_translation_subpath(
                 bundle, params, face_src, state, fstat, face_gate
             )
-            prior = jnp.zeros((s, mh, mw), jnp.float32)
+            prior = jnp.zeros(
+                (s, 4) if analytic_prior else (s, mh, mw), jnp.float32
+            )
             has_prior = jnp.zeros((s,), bool)
         elif statics.face_path and bundle.face_model is not None:
             if statics.face_compact:
@@ -563,15 +587,21 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                     _face_subpath_compact(
                         bundle, params, face_src_u8, state, fstat, face_gate,
                         s2d_block=face_blk, src_planar=face_planar,
+                        prior_form=prior_form,
                     )
                 )
             else:
                 fire = ((state.frame_idx % statics.lmk_interval) == 0) & face_gate
                 prior, has_prior, affine_update, has_update, det_score = (
-                    _face_subpath(bundle, params, face_src, fire, fstat)
+                    _face_subpath(
+                        bundle, params, face_src, fire, fstat,
+                        prior_form=prior_form,
+                    )
                 )
         else:
-            prior = jnp.zeros((s, mh, mw), jnp.float32)
+            prior = jnp.zeros(
+                (s, 4) if analytic_prior else (s, mh, mw), jnp.float32
+            )
             has_prior = jnp.zeros((s,), bool)
             affine_update = jnp.zeros((s, 6), jnp.float32)
             has_update = jnp.zeros((s,), bool)
@@ -605,11 +635,12 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 alpha_raw, state.prev_alpha, state.affine,
                 state.has_affine & state.initialized, state.initialized,
                 statics.warp_blend_weight,
-                kguide, prior,
+                kguide, None if analytic_prior else prior,
                 knobs.ema, knobs.noise_cutoff, knobs.high_threshold,
                 knobs.gamma, knobs.use_bilateral, knobs.sigma_spatial,
                 knobs.sigma_range, has_prior,
                 guide_planar=planar_guide, debug=kdebug,
+                prior_params=prior if analytic_prior else None,
             )
             base = None  # consumed inside the kernel
         else:
