@@ -145,6 +145,151 @@ def test_fused_temporal_refine_analytic_prior_matches_plane(data):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_fused_temporal_refine_guide_lanes_matches_planar(data):
+    """guide_lanes_geom (raw gathered lanes + in-VMEM unfold) must be
+    bit-identical to the planar-guide path: the unfold is u8-exact
+    (one-hot bf16 dots + sublane stack interleave)."""
+    alpha_raw, prev, affine, guide, prior = data
+    box = jnp.asarray([[30.0, 20.0, 90.0, 70.0]] * S)
+    pp = ops.face_prior_params(box, (96, 160), (H, W))
+    knobs = runtime.default_knobs(S)
+    use_warp = jnp.asarray([True, False])
+    init = jnp.asarray([True, True])
+    has_prior = jnp.asarray([True, False])
+    args = (
+        knobs.ema, knobs.noise_cutoff, knobs.high_threshold, knobs.gamma,
+        knobs.use_bilateral, knobs.sigma_spatial, knobs.sigma_range,
+        has_prior,
+    )
+    guide_pl = jnp.moveaxis(guide.astype(jnp.uint8), -1, -3)  # [S,3,H,W]
+    want_prev, want = fused_temporal_refine(
+        alpha_raw, prev, affine, use_warp, init, 0.3, guide_pl, None, *args,
+        interpret=True, guide_planar=True, prior_params=pp,
+    )
+    fy, fx = 4, 4
+    hp, wp = H // fy, W // fx
+    # lanes[k = (c*fy+yy)*fx+xx, s, i, j] = guide[s, c, fy*i+yy, fx*j+xx]
+    gl = (
+        np.asarray(guide)
+        .astype(np.uint8)
+        .reshape(S, hp, fy, wp, fx, 3)
+        .transpose(5, 2, 4, 0, 1, 3)
+        .reshape(3 * fy * fx, S, hp, wp)
+    )
+    got_prev, got = fused_temporal_refine(
+        alpha_raw, prev, affine, use_warp, init, 0.3, jnp.asarray(gl), None,
+        *args, interpret=True, prior_params=pp, guide_lanes_geom=(fy, fx),
+    )
+    np.testing.assert_array_equal(np.asarray(got_prev), np.asarray(want_prev))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_temporal_refine_lowres_alpha_matches_xla(data):
+    """alpha_lowres_hw (head-grid logits, in-VMEM bilinear upsample +
+    sigmoid) must match the XLA path (resize_bilinear_mxu(DEFAULT,
+    half_pixel) + sigmoid) feeding the same kernel."""
+    import jax
+
+    _, prev, affine, guide, prior = data
+    rng2 = np.random.default_rng(7)
+    h0, w0 = H // 4, W // 4
+    logits = jnp.asarray(
+        (rng2.random((S, h0, w0)).astype(np.float32) - 0.5) * 8.0
+    )
+    alpha_full = jax.nn.sigmoid(
+        ops.resize_bilinear_mxu(
+            logits, (H, W), method="half_pixel", channel_last=False,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    )
+    box = jnp.asarray([[30.0, 20.0, 90.0, 70.0]] * S)
+    pp = ops.face_prior_params(box, (96, 160), (H, W))
+    knobs = runtime.default_knobs(S)
+    use_warp = jnp.asarray([True, False])
+    init = jnp.asarray([True, True])
+    has_prior = jnp.asarray([True, False])
+    args = (
+        knobs.ema, knobs.noise_cutoff, knobs.high_threshold, knobs.gamma,
+        knobs.use_bilateral, knobs.sigma_spatial, knobs.sigma_range,
+        has_prior,
+    )
+    want_prev, want = fused_temporal_refine(
+        alpha_full, prev, affine, use_warp, init, 0.3, guide, None, *args,
+        interpret=True, prior_params=pp,
+    )
+    got_prev, got = fused_temporal_refine(
+        logits, prev, affine, use_warp, init, 0.3, guide, None, *args,
+        interpret=True, prior_params=pp, alpha_lowres_hw=(H, W),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_prev), np.asarray(want_prev), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_fused_temporal_refine_bf16_out(data):
+    """out_dtype=bf16: new_prev (state) stays exact f32; the refined
+    output only rounds to bf16."""
+    alpha_raw, prev, affine, guide, prior = data
+    knobs = runtime.default_knobs(S)
+    use_warp = jnp.asarray([True, False])
+    init = jnp.asarray([True, True])
+    has_prior = jnp.asarray([True, False])
+    args = (
+        knobs.ema, knobs.noise_cutoff, knobs.high_threshold, knobs.gamma,
+        knobs.use_bilateral, knobs.sigma_spatial, knobs.sigma_range,
+        has_prior,
+    )
+    want_prev, want = fused_temporal_refine(
+        alpha_raw, prev, affine, use_warp, init, 0.3, guide, prior, *args,
+        interpret=True,
+    )
+    got_prev, got = fused_temporal_refine(
+        alpha_raw, prev, affine, use_warp, init, 0.3, guide, prior, *args,
+        interpret=True, out_dtype=jnp.bfloat16,
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got_prev), np.asarray(want_prev))
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(want), atol=4e-3
+    )
+
+
+def test_engine_lowres_alpha_and_guide_lanes(rng):
+    """refine_alpha_src='lowres' + guide_kernel_unfold=True through the
+    full engine step == the default ('full' alpha, planar guide) engine
+    (interpret kernel on CPU; the lane unfold is u8-exact and the lowres
+    upsample matches the XLA taps)."""
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+    from video_stream_segmenetation_tpu.service import Engine
+
+    kw = dict(
+        frame_hw=(80, 160), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", use_fused_refine=True,
+    )
+    st_fast = preset(
+        "fast_int8_micro", refine_alpha_src="lowres",
+        guide_kernel_unfold=True, **kw,
+    )
+    st_base = preset(
+        "fast_int8_micro", refine_alpha_src="full",
+        guide_kernel_unfold=False, **kw,
+    )
+    frames = (rng.random((2, 80, 160, 3)) * 255).astype(np.uint8)
+    outs = []
+    for st in (st_fast, st_base):
+        eng = Engine(num_streams=2, statics=st, rng_seed=0, donate_state=False)
+        eng.admit(); eng.admit()
+        for _ in range(3):
+            out = eng.process(frames)
+        assert out["metrics"]["health"]["state"] == "ok"
+        outs.append((np.asarray(out["alpha"]), np.asarray(out["frame"])))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=2e-5, atol=2e-5)
+    assert np.mean(np.abs(outs[0][1].astype(np.int32) - outs[1][1])) < 0.02
+
+
 def test_engine_analytic_prior_matches_plane(rng):
     """prior_impl='auto' (analytic in-kernel prior) == prior_impl='plane'
     through the full engine step (interpret kernel on CPU)."""

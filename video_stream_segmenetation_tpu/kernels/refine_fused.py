@@ -234,7 +234,7 @@ def _temporal_refine_kernel(
     _tr_body(
         i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
         has_prior_ref, ema_ref, use_warp_ref, init_ref, wb_ref,
-        alpha_ref, prev_ref, idx_ref, gr_ref, gg_ref, gb_ref,
+        alpha_ref[0], prev_ref, idx_ref, gr_ref[0], gg_ref[0], gb_ref[0],
         prior_ref[0], newprev_ref, out_ref, debug,
     )
 
@@ -287,7 +287,125 @@ def _temporal_refine_kernel_analytic(
     _tr_body(
         i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
         has_prior_ref, ema_ref, use_warp_ref, init_ref, wb_ref,
-        alpha_ref, prev_ref, idx_ref, gr_ref, gg_ref, gb_ref,
+        alpha_ref[0], prev_ref, idx_ref, gr_ref[0], gg_ref[0], gb_ref[0],
+        prior, newprev_ref, out_ref, debug,
+    )
+
+
+def _guide_from_lanes(gl, fy, fx, w):
+    """Unfold the raw gathered s2d guide lanes into the 3 bf16 guide
+    planes, in VMEM (ops/layout.py::guide_lanes_s2d produces the lanes;
+    the planar [S,3,H,W] guide and its (fy,fx)-interleave relayout never
+    exist in HBM).
+
+    gl: [nl, 1, hp, wp] u8 lane planes in guide_s2d_sel(planar=True)
+    order (k = (c*fy + yy)*fx + xx); plane value at (i, j) = guide pixel
+    (fy*i + yy, fx*j + xx).  Per (c, yy): the x-interleave is a one-hot
+    MXU dot [hp, wp] @ E_xx[wp, w] (exact: u8 ints are exact in bf16 and
+    every output column has exactly one contributor); the y-interleave is
+    a sublane stack (Mosaic-probe-verified, see kernels/trunk_int8.py).
+    """
+    nl, _, hp, wp = gl.shape
+    planes = []
+    for c in range(3):
+        rows = []
+        for yy in range(fy):
+            acc = None
+            for xx in range(fx):
+                g = gl[(c * fy + yy) * fx + xx, 0]  # [hp, wp] u8
+                g = g.astype(jnp.int32).astype(jnp.bfloat16)
+                row = jax.lax.broadcasted_iota(jnp.int32, (wp, w), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (wp, w), 1)
+                e = (col == fx * row + xx).astype(jnp.bfloat16)
+                d = jnp.dot(g, e, preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            rows.append(acc)  # [hp, w] f32 (u8-valued)
+        plane = jnp.stack(rows, axis=1).reshape(hp * fy, w)
+        planes.append(plane.astype(jnp.bfloat16))
+    return planes
+
+
+def _temporal_refine_kernel_fast(
+    # scalar-prefetch refs (analytic prior: 4 scalars per stream)
+    low_ref,
+    high_ref,
+    gamma_ref,
+    use_bi_ref,
+    ss_ref,
+    sr_ref,
+    has_prior_ref,
+    ema_ref,
+    use_warp_ref,
+    init_ref,
+    wb_ref,
+    pcx_ref,
+    pcy_ref,
+    prx_ref,
+    pry_ref,
+    # tensor refs (layout depends on the statically-bound options)
+    *refs,
+    lowres=False,
+    lanes=None,
+    debug=(),
+):
+    """Production fast-path variant (analytic prior required) with two
+    statically-bound boundary cuts:
+
+    * ``lowres``: alpha rides as HEAD-GRID logits [1, h0, w0] plus the
+      two bilinear interp matrices; the x4 upsample + sigmoid run in
+      VMEM, so the [S, H, W] f32 alpha_raw never exists in HBM
+      (~150 MB/step round trip at S=64; matches the XLA path
+      resize_bilinear_mxu(DEFAULT) + sigmoid, models/quantized.py).
+    * ``lanes=(fy, fx)``: the guide rides as the raw gathered s2d lane
+      planes [nl, 1, hp, wp] u8 and is unfolded in VMEM
+      (_guide_from_lanes) -- the planar guide reassembly relayout
+      (ops/layout.py::guide_from_gathered) never exists in HBM.
+    """
+    refs = list(refs)
+    alpha_ref = refs.pop(0)
+    prev_ref = refs.pop(0)
+    idx_ref = refs.pop(0)
+    if lowres:
+        ah_ref = refs.pop(0)  # [H, h0] f32 bilinear rows
+        aw_ref = refs.pop(0)  # [w0, W] f32 bilinear cols (pre-transposed)
+    if lanes is not None:
+        gl_ref = refs.pop(0)  # [nl, 1, hp, wp] u8
+    else:
+        gr_ref, gg_ref, gb_ref = refs[:3]
+        refs = refs[3:]
+    newprev_ref, out_ref = refs[-2:]
+
+    from video_stream_segmenetation_tpu.ops.prior import (
+        prior_plane_from_params,
+    )
+
+    i = pl.program_id(0)
+    if lowres:
+        logits = alpha_ref[0].astype(jnp.float32)  # [h0, w0]
+        up = jnp.dot(
+            ah_ref[...], logits, preferred_element_type=jnp.float32
+        )
+        a_raw = jax.nn.sigmoid(
+            jnp.dot(up, aw_ref[...], preferred_element_type=jnp.float32)
+        )
+    else:
+        a_raw = alpha_ref[0]
+    h, w = a_raw.shape
+    if lanes is not None:
+        g_r, g_g, g_b = _guide_from_lanes(gl_ref[...], *lanes, w)
+    else:
+        g_r, g_g, g_b = gr_ref[0], gg_ref[0], gb_ref[0]
+    prior = jnp.where(
+        has_prior_ref[i] > 0,
+        prior_plane_from_params(
+            pcx_ref[i], pcy_ref[i], prx_ref[i], pry_ref[i], (h, w)
+        ),
+        jnp.zeros((h, w), jnp.float32),
+    )
+    _tr_body(
+        i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
+        has_prior_ref, ema_ref, use_warp_ref, init_ref, wb_ref,
+        a_raw, prev_ref, idx_ref, g_r, g_g, g_b,
         prior, newprev_ref, out_ref, debug,
     )
 
@@ -295,14 +413,13 @@ def _temporal_refine_kernel_analytic(
 def _tr_body(
     i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
     has_prior_ref, ema_ref, use_warp_ref, init_ref, wb_ref,
-    alpha_ref, prev_ref, idx_ref, gr_ref, gg_ref, gb_ref,
+    a_raw, prev_ref, idx_ref, g_r, g_g, g_b,
     prior, newprev_ref, out_ref, debug,
 ):
     """Stages 3+4 (separable warp via one-hot MXU matmuls + EMA) fused in
     front of the refinement chain -- the whole post-model mask path
     (reference stages 3-9) in one VMEM-resident program."""
-    h, w = alpha_ref.shape[1], alpha_ref.shape[2]
-    a_raw = alpha_ref[0]
+    h, w = a_raw.shape
     prev = prev_ref[0]
 
     # ---- stage 3: separable nearest warp of prev (ops.warp_affine_separable)
@@ -333,11 +450,12 @@ def _tr_body(
     new_prev = jnp.where(init_ref[i] > 0, k * prev + (1.0 - k) * base, base)
     newprev_ref[0] = new_prev
 
-    out_ref[0] = _chain_body(
+    refined = _chain_body(
         i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
-        has_prior_ref, new_prev, gr_ref[0], gg_ref[0], gb_ref[0],
+        has_prior_ref, new_prev, g_r, g_g, g_b,
         prior, debug=debug,
     )
+    out_ref[0] = refined.astype(out_ref.dtype)
 
 
 def fused_refine(
@@ -426,6 +544,9 @@ def fused_temporal_refine(
     guide_planar: bool = False,
     debug: tuple = (),
     prior_params: jnp.ndarray | None = None,
+    alpha_lowres_hw: tuple[int, int] | None = None,
+    guide_lanes_geom: tuple[int, int] | None = None,
+    out_dtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Stages 3-9 in one kernel.  Returns (new_prev, refined_alpha).
 
@@ -447,11 +568,42 @@ def fused_temporal_refine(
     HBM traffic instead of 2, zero channel-minormost u8 relayout, and
     the u8->bf16 convert happens in VMEM (identical numerics: u8 values
     are exact in bf16).
+
+    alpha_lowres_hw=(H, W) (requires prior_params): ``alpha_raw`` is the
+    HEAD-GRID logit plane [S, h0, w0] (models/quantized.py
+    'alpha_logit_lr'); the bilinear x(H/h0) upsample + sigmoid run in
+    VMEM with the same taps/precision as the XLA path
+    (resize_bilinear_mxu(method='half_pixel', DEFAULT) + sigmoid), so
+    the [S, H, W] f32 alpha_raw never exists in HBM.
+
+    guide_lanes_geom=(fy, fx) (requires prior_params): ``guide`` is the
+    raw gathered lane tensor [nl, S, hp, wp] u8
+    (ops/layout.py::guide_lanes_s2d); the (fy, fx) interleave unfold
+    runs in VMEM (_guide_from_lanes), so the planar guide reassembly
+    relayout never exists in HBM.
+
+    out_dtype: dtype of the REFINED alpha output (default f32; bf16
+    halves its HBM write + the composite's read -- the composite dot
+    reads it as bf16 anyway).  new_prev (the EMA accumulator state)
+    always stays f32.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    s, h, w = alpha_raw.shape
-    if guide_planar:
+    lowres = alpha_lowres_hw is not None
+    lanes = guide_lanes_geom is not None
+    if (lowres or lanes) and prior_params is None:
+        raise ValueError(
+            "alpha_lowres_hw/guide_lanes_geom require prior_params "
+            "(the analytic-prior fast kernel)"
+        )
+    if lowres:
+        s, h0, w0 = alpha_raw.shape
+        h, w = alpha_lowres_hw
+    else:
+        s, h, w = alpha_raw.shape
+    if lanes:
+        g0 = g1 = g2 = None
+    elif guide_planar:
         g0, g1, g2 = guide[:, 0], guide[:, 1], guide[:, 2]
     else:
         guide = jnp.floor(guide + 0.5).astype(jnp.bfloat16)
@@ -478,15 +630,43 @@ def fused_temporal_refine(
     plane = pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0))
     idx_spec = pl.BlockSpec((1, 8, w), lambda i, *_: (i, 0, 0))
     analytic = prior_params is not None
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=15 if analytic else 11,
-        grid=(s,),
-        in_specs=(
-            [plane, plane, idx_spec, plane, plane, plane]
-            + ([] if analytic else [plane])
-        ),
-        out_specs=[plane, plane],
-    )
+    fast = lowres or lanes
+    if fast:
+        alpha_spec = (
+            pl.BlockSpec((1, h0, w0), lambda i, *_: (i, 0, 0))
+            if lowres
+            else plane
+        )
+        in_specs = [alpha_spec, plane, idx_spec]
+        if lowres:
+            in_specs += [
+                pl.BlockSpec((h, h0), lambda i, *_: (0, 0)),
+                pl.BlockSpec((w0, w), lambda i, *_: (0, 0)),
+            ]
+        if lanes:
+            nl = guide.shape[0]
+            hp, wp = guide.shape[2], guide.shape[3]
+            in_specs.append(
+                pl.BlockSpec((nl, 1, hp, wp), lambda i, *_: (0, i, 0, 0))
+            )
+        else:
+            in_specs += [plane, plane, plane]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=15,
+            grid=(s,),
+            in_specs=in_specs,
+            out_specs=[plane, plane],
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=15 if analytic else 11,
+            grid=(s,),
+            in_specs=(
+                [plane, plane, idx_spec, plane, plane, plane]
+                + ([] if analytic else [plane])
+            ),
+            out_specs=[plane, plane],
+        )
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -513,22 +693,46 @@ def fused_temporal_refine(
         alpha_raw.astype(jnp.float32),
         prev_alpha.astype(jnp.float32),
         aux,
-        g0,
-        g1,
-        g2,
     ]
-    if not analytic:
-        tensors.append(prior.astype(jnp.float32))
-    kernel_fn = (
-        _temporal_refine_kernel_analytic if analytic
-        else _temporal_refine_kernel
-    )
+    if fast:
+        if lowres:
+            from video_stream_segmenetation_tpu.ops.resize import (
+                _interp_matrix,
+            )
+
+            tensors += [
+                jnp.asarray(
+                    _interp_matrix(h, h0, "half_pixel"), jnp.float32
+                ),
+                jnp.asarray(
+                    _interp_matrix(w, w0, "half_pixel"), jnp.float32
+                ).T,
+            ]
+        if lanes:
+            tensors.append(guide)  # [nl, S, hp, wp] u8
+        else:
+            tensors += [g0, g1, g2]
+        kernel_fn = functools.partial(
+            _temporal_refine_kernel_fast,
+            lowres=lowres,
+            lanes=tuple(guide_lanes_geom) if lanes else None,
+        )
+    else:
+        tensors += [g0, g1, g2]
+        if not analytic:
+            tensors.append(prior.astype(jnp.float32))
+        kernel_fn = (
+            _temporal_refine_kernel_analytic if analytic
+            else _temporal_refine_kernel
+        )
     new_prev, refined = pl.pallas_call(
         functools.partial(kernel_fn, debug=tuple(debug)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((s, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((s, h, w), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (s, h, w), jnp.float32 if out_dtype is None else out_dtype
+            ),
         ],
         interpret=interpret,
         **kwargs,

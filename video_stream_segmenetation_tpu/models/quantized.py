@@ -286,6 +286,12 @@ class QuantizedMatteNetHD:
     # the pipeline may ride extra one-hot gather columns on the stem
     # matmul (``stem_aux_cols``) -- see guide_s2d_sel in ops/layout.py
     supports_stem_aux = True
+    # apply() also emits 'alpha_logit_lr' (head-grid pre-upsample
+    # logits): the fused refine kernel can take those and run the
+    # bilinear upsample + sigmoid in VMEM (refine_alpha_src='lowres' --
+    # the [S, mask_hw] f32 alpha then never exists in HBM; XLA
+    # dead-code-eliminates whichever output the pipeline doesn't read)
+    supports_lowres_alpha = True
 
     def apply(self, q, x, train: bool = False, stem_aux_cols=None):
         ss = self.stem_stride
@@ -499,6 +505,7 @@ class QuantizedMatteNetHD:
         if k == 1:
             out = {
                 "alpha": jax.nn.sigmoid(al[..., 0].astype(jnp.float32)),
+                "alpha_logit_lr": alpha_logit[..., 0].astype(jnp.float32),
                 "semantic": jax.nn.sigmoid(sem_logit.astype(jnp.float32))[..., 0],
                 "detail": det_logit.astype(jnp.float32)[..., 0],
             }

@@ -75,6 +75,7 @@ from video_stream_segmenetation_tpu.ops.layout import (  # noqa: F401
     guide_from_s2d,
     guide_s2d_sel,
     guide_from_gathered,
+    guide_lanes_s2d,
     alpha_composite_s2d,
     multiclass_composite_s2d,
     packed_color,

@@ -183,6 +183,44 @@ def guide_from_s2d(
     return guide_from_gathered(g, frame_hw, out_hw, block, channels, planar)
 
 
+def guide_lanes_s2d(
+    xp: jnp.ndarray,
+    frame_hw: tuple[int, int],
+    out_hw: tuple[int, int],
+    block: int,
+    channels: int = 3,
+    method: Method = "half_pixel",
+):
+    """Raw gathered guide lanes ``[nl, S, hp, wp]`` u8 (+ the (fy, fx)
+    interleave geometry), for in-kernel unfolding.
+
+    Same one-hot MXU gather as :func:`guide_from_s2d` (planar tap order),
+    but the (fy, fx) spatial interleave is NOT applied: the fused refine
+    kernel unfolds the lanes in VMEM (kernels/refine_fused.py::
+    _guide_from_lanes), so the planar guide plane -- and the XLA
+    reassembly relayout of :func:`guide_from_gathered` -- never exist in
+    HBM.  Lane k = (c*fy + yy)*fx + xx holds guide pixel
+    (fy*i + yy, fx*j + xx) at patch (i, j).  Returns ``None`` when the
+    geometry does not decompose per-patch (callers fall back to
+    :func:`guide_from_s2d`).
+    """
+    sel = guide_s2d_sel(frame_hw, out_hw, block, channels, method, planar=True)
+    if sel is None:
+        return None
+    hp, wp = frame_hw[0] // block, frame_hw[1] // block
+    fy, fx = out_hw[0] // hp, out_hw[1] // wp
+    onehot = np.zeros((len(sel), xp.shape[-1]), np.float32)
+    onehot[np.arange(len(sel)), np.asarray(sel)] = 1.0
+    gl = jax.lax.dot_general(
+        jnp.asarray(onehot, jnp.bfloat16),
+        xp.astype(jnp.bfloat16),
+        (((1,), (xp.ndim - 1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.uint8)  # [nl, S, hp, wp]
+    return gl, (fy, fx)
+
+
 def _fallback_guide(xp, block, out_hw, method):
     from video_stream_segmenetation_tpu.ops.resize import resize_nearest
 

@@ -235,3 +235,21 @@ class PipelineStatics:
     # step at S=64 on fast_int8_pico.  Kept off by default as a pinned,
     # tested option in case a future XLA fuses it.
     guide_stem_aux: bool = False
+    # alpha source for the fused temporal+refine kernel: 'full' feeds the
+    # model's [S,mask_hw] f32 alpha; 'lowres' feeds the HEAD-GRID logits
+    # (models/quantized.py 'alpha_logit_lr') and runs the bilinear
+    # upsample + sigmoid in VMEM -- the full-res f32 alpha_raw never
+    # exists in HBM (~150 MB/step round trip at S=64).  'auto' = lowres
+    # on the TPU fast path (analytic prior + planar guide + native int8
+    # matting), full elsewhere.
+    refine_alpha_src: str = "full"
+    # feed the fused kernel the RAW gathered guide lanes [nl,S,hp,wp]
+    # (ops/layout.py::guide_lanes_s2d) and unfold them in VMEM -- the
+    # planar guide reassembly relayout never exists in HBM.  'auto' =
+    # on for the TPU fast path, off elsewhere; False/True force.
+    guide_kernel_unfold: Any = False
+    # dtype of the kernel's refined-alpha output: 'f32' (exact) or
+    # 'bf16' (halves its HBM write + the composite's read; the packed
+    # composite dot reads it as bf16 anyway, so the composite output is
+    # nearly unchanged -- within one u8 rounding step)
+    refined_dtype: str = "f32"

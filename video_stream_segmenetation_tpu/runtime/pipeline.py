@@ -174,7 +174,7 @@ def _face_subpath(bundle, params, frames_f32, fire, statics: PipelineStatics,
 
 def _face_subpath_compact(
     bundle, params, frames, state, statics, face_gate, s2d_block=None,
-    src_planar=False, prior_form: str = "plane",
+    src_planar=False, prior_form: str = "plane", src_lanes_geom=None,
 ):
     """Cadence-compacted stage 6: gather the <= K streams whose cadence
     fires this step (K = ceil(S / lmk_interval) with staggered admission,
@@ -189,14 +189,30 @@ def _face_subpath_compact(
 
     ``frames`` may be natural [S,H,W,3] or (s2d_block set) space-to-depth
     packed; the natural layout is reconstructed only for the gathered
-    cadence subset.
+    cadence subset.  With ``src_lanes_geom=(fy, fx)``, ``frames`` is the
+    raw guide-lane tensor [nl, S, hp, wp] u8 (ops/layout.py::
+    guide_lanes_s2d, the guide_kernel_unfold fast path where no planar
+    guide exists in HBM): the cadence subset is gathered on the stream
+    axis and only those <= K streams pay the interleave reassembly.
     """
-    s = frames.shape[0]
+    s = frames.shape[1] if src_lanes_geom else frames.shape[0]
     mh, mw = statics.mask_hw
     cadence = (state.frame_idx % statics.lmk_interval) == 0
     fire = cadence & face_gate
 
+    def lanes_to_planar(x):
+        # [nl, K, hp, wp] -> [K, 3, mh, mw] (guide_from_gathered with
+        # block=1: hp/wp ARE the patch grid here)
+        fy, fx = src_lanes_geom
+        hp, wp = x.shape[-2], x.shape[-1]
+        g = jnp.moveaxis(x, 0, -1)  # [K, hp, wp, nl]
+        return ops.guide_from_gathered(
+            g, (hp, wp), (hp * fy, wp * fx), 1, planar=True
+        )
+
     def to_f32(x):
+        if src_lanes_geom:
+            x = lanes_to_planar(x)
         if s2d_block:
             x = ops.depth_to_space(x, s2d_block)
         if src_planar:
@@ -219,7 +235,7 @@ def _face_subpath_compact(
     safe = jnp.minimum(idxs, s - 1)
     # gather in uint8 FIRST, then convert: keeps the full-batch f32 frame
     # conversion out of the hot path (700 MB at S=64x720p)
-    f_sel = to_f32(jnp.take(frames, safe, axis=0))
+    f_sel = to_f32(jnp.take(frames, safe, axis=1 if src_lanes_geom else 0))
 
     prior_k, has_prior_k, aff_k, has_upd_k, score_k = _face_subpath(
         bundle, params, f_sel, sel_valid, statics, prior_form=prior_form
@@ -445,6 +461,42 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             or (statics.face_compact and statics.face_tracking != "translation")
         )
     )
+    # fast-kernel boundary cuts (kernels/refine_fused.py), resolved once
+    # at build time.  'auto' = on for the TPU serving fast path only.
+    _on_tpu = _jax.default_backend() == "tpu"
+    _ra = statics.refine_alpha_src
+    use_lowres_alpha = (
+        use_fused_tr
+        and analytic_prior
+        and statics.matting_arch == "feedforward"
+        and statics.matting_input == "native"
+        and "model_only" not in statics.debug_stage
+        and getattr(bundle.matte_model, "supports_lowres_alpha", False)
+        and getattr(bundle.matte_model, "head_upsample", 1) > 1
+        and not statics.guide_stem_aux
+        and (_ra == "lowres" or (_ra == "auto" and _on_tpu))
+    )
+    _gk = statics.guide_kernel_unfold
+    use_guide_lanes = (
+        planar_guide
+        and analytic_prior
+        and not statics.guide_stem_aux
+        and (_gk is True or (_gk == "auto" and _on_tpu))
+        and ops.guide_s2d_sel(
+            (fh, fw), (mh, mw), statics.s2d_block, planar=True
+        )
+        is not None
+    )
+    lane_geom = (
+        (mh // (fh // statics.s2d_block), mw // (fw // statics.s2d_block))
+        if use_guide_lanes
+        else None
+    )
+    out_dtype_tr = (
+        jnp.bfloat16
+        if (statics.refined_dtype == "bf16" and use_fused_tr)
+        else None
+    )
 
     def step(params, state: StreamState, frames_u8, background, knobs: PipelineKnobs, face_gate):
         """frames_u8: [S,H,W,3] natural, or s2d-packed [S,H/b,W/b,b*b*3]
@@ -501,13 +553,28 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 )
                 small = None
             else:
-                alpha_raw = bundle.matte_model.apply(
-                    params["matte"], frames_u8
-                )["alpha"]
+                out_m = bundle.matte_model.apply(params["matte"], frames_u8)
+                # lowres: head-grid logits go straight to the fused
+                # kernel (upsample+sigmoid in VMEM); XLA DCEs the unused
+                # full-res 'alpha' output
+                alpha_raw = (
+                    out_m["alpha_logit_lr"] if use_lowres_alpha
+                    else out_m["alpha"]
+                )
+            guide_lanes = None
             if statics.guide_impl == "nearest_u8" and guide_sel is not None:
                 pass  # planar guide already gathered off the stem dot
             elif statics.guide_impl == "nearest_u8":
-                if s2d and planar_guide:
+                if s2d and planar_guide and use_guide_lanes:
+                    # raw lanes: the planar reassembly happens in VMEM
+                    # inside the fused kernel (and per cadence-subset in
+                    # the face path) -- no full-batch planar guide in HBM
+                    guide_lanes, _ = ops.guide_lanes_s2d(
+                        frames_u8, (fh, fw), (mh, mw), statics.s2d_block
+                    )
+                    guide_pl_u8 = None
+                    small = None
+                elif s2d and planar_guide:
                     # channel-leading u8 planes [S,3,mh,mw]: the fused
                     # kernel converts in VMEM and the face path gathers
                     # its cadence subset post-hoc -- the full-batch
@@ -542,9 +609,16 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         # mask-res guide (face_input='guide': FD/ROI sample `small`,
         # coordinates live in mask space so frame_hw := mask_hw)
         face_planar = False
+        face_lanes_geom = None
         if statics.face_input == "guide":
             fstat = dataclasses.replace(statics, frame_hw=(mh, mw))
-            if planar_guide:
+            if planar_guide and use_guide_lanes:
+                # compact path gathers the <= K cadence streams from the
+                # raw lane tensor and reassembles only that tiny subset
+                face_src, face_src_u8, face_blk = None, guide_lanes, None
+                face_planar = True
+                face_lanes_geom = lane_geom
+            elif planar_guide:
                 # compact path gathers the <= K cadence streams from the
                 # planar u8 guide and relayouts only that tiny subset
                 face_src, face_src_u8, face_blk = None, guide_pl_u8, None
@@ -587,7 +661,7 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                     _face_subpath_compact(
                         bundle, params, face_src_u8, state, fstat, face_gate,
                         s2d_block=face_blk, src_planar=face_planar,
-                        prior_form=prior_form,
+                        prior_form=prior_form, src_lanes_geom=face_lanes_geom,
                     )
                 )
             else:
@@ -626,7 +700,10 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 t for t in ("no_morph", "no_bilateral")
                 if t in statics.debug_stage
             )
-            kguide = guide_pl_u8 if planar_guide else guide
+            kguide = (
+                guide_lanes if use_guide_lanes
+                else (guide_pl_u8 if planar_guide else guide)
+            )
             if "no_guide" in statics.debug_stage and planar_guide:
                 # bench-only: constant guide -- the gather off the packed
                 # frames is DCE'd, attributing its cost
@@ -641,6 +718,9 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 knobs.sigma_range, has_prior,
                 guide_planar=planar_guide, debug=kdebug,
                 prior_params=prior if analytic_prior else None,
+                alpha_lowres_hw=(mh, mw) if use_lowres_alpha else None,
+                guide_lanes_geom=lane_geom if use_guide_lanes else None,
+                out_dtype=out_dtype_tr,
             )
             base = None  # consumed inside the kernel
         else:
