@@ -83,6 +83,48 @@ def fused_temporal_refine_case():
     return run
 
 
+def fused_temporal_refine_fast_case():
+    """The production fast-kernel config: analytic prior + head-grid
+    logits (in-VMEM upsample+sigmoid) + raw guide lanes (in-VMEM unfold)
+    + bf16 refined output."""
+    from video_stream_segmenetation_tpu.kernels.refine_fused import (
+        fused_temporal_refine,
+    )
+    from video_stream_segmenetation_tpu import ops
+
+    _, _, _, has_prior, k = _mask_inputs(5)
+    rng = np.random.default_rng(6)
+    h0, w0 = H // 4, W // 4
+    logits = jnp.asarray(
+        ((rng.random((S, h0, w0)) - 0.5) * 8).astype(np.float32)
+    )
+    prev = jnp.asarray(rng.random((S, H, W)).astype(np.float32))
+    affine = jnp.tile(
+        jnp.asarray([1.02, 0.0, 2.0, 0.0, 0.98, -1.0], jnp.float32), (S, 1)
+    )
+    fy, fx = 4, 4
+    hp, wp = H // fy, W // fx
+    gl = jnp.asarray(
+        (rng.random((3 * fy * fx, S, hp, wp)) * 255).astype(np.uint8)
+    )
+    box = jnp.tile(jnp.asarray([[120.0, 60.0, 360.0, 240.0]]), (S, 1))
+    pp = ops.face_prior_params(box, (FH, FW), (H, W))
+    use_warp = jnp.asarray([True, False, True, False])
+    ema = jnp.full((S,), 0.55)
+    init = jnp.asarray([True, True, True, False])
+
+    def run(interpret):
+        return fused_temporal_refine(
+            logits, prev, affine, use_warp, init, 0.3,
+            gl, None, ema, k["low"], k["high"], k["gamma"],
+            k["use_bi"], k["ss"], k["sr"], has_prior, interpret=interpret,
+            prior_params=pp, alpha_lowres_hw=(H, W),
+            guide_lanes_geom=(fy, fx), out_dtype=jnp.bfloat16,
+        )
+
+    return run
+
+
 def fused_composite_case():
     from video_stream_segmenetation_tpu.kernels.composite_fused import (
         fused_composite,
@@ -116,12 +158,44 @@ def conv_int8_case():
     return run
 
 
+def trunk_megakernel_case():
+    """Whole-trunk int8 megakernel + in-kernel alpha head
+    (kernels/trunk_int8.py) at production pico widths / 720p geometry."""
+    import jax as _jax
+
+    from video_stream_segmenetation_tpu import models
+    from video_stream_segmenetation_tpu.kernels.trunk_int8 import (
+        fused_nano_trunk_alpha,
+    )
+    from video_stream_segmenetation_tpu.models import quantized as Q
+
+    rng = np.random.default_rng(7)
+    fh, fw, ss = 720, 1280, 10
+    model = models.MatteNetHD(stem_stride=ss, head_upsample=4, decoder="pico")
+    params = model.init(_jax.random.PRNGKey(0), jnp.zeros((1, fh, fw, 3)))
+    q = Q.quantize_mattenet_hd(model, params)
+    x = jnp.asarray(
+        rng.integers(0, 255, (2, fh // ss, fw // ss, ss * ss * 3)).astype(
+            np.uint8
+        )
+    )
+    y = x.astype(jnp.bfloat16) @ q["stem_w"]
+    x0 = Q._requant(y.astype(jnp.float32) + q["stem_b"])
+
+    def run(interpret):
+        return fused_nano_trunk_alpha(x0, q, interpret=interpret)
+
+    return run
+
+
 def main() -> None:
     cases = {
         "fused_refine": fused_refine_case,
         "fused_temporal_refine": fused_temporal_refine_case,
+        "fused_temporal_refine_fast": fused_temporal_refine_fast_case,
         "fused_composite": fused_composite_case,
         "conv3x3_i8_fused": conv_int8_case,
+        "trunk_megakernel_alpha": trunk_megakernel_case,
     }
     report = {"device": str(jax.devices()[0]), "cases": {}}
     for name, mk in cases.items():
