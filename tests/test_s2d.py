@@ -44,6 +44,22 @@ def test_guide_from_s2d_matches_resize_nearest(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_guide_lanes_s2d_matches_planar(rng):
+    """The raw lane tensor reassembles (guide_from_gathered with block=1)
+    to exactly the planar guide -- the contract the in-kernel unfold and
+    the compact face path both rely on."""
+    x = jnp.asarray((rng.random((2, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    p = ops.space_to_depth(x, BLK)
+    want = ops.guide_from_s2d(p, FRAME_HW, MASK_HW, BLK, planar=True)
+    gl, (fy, fx) = ops.guide_lanes_s2d(p, FRAME_HW, MASK_HW, BLK)
+    nl, s, hp, wp = gl.shape
+    assert (nl, fy, fx) == (3 * fy * fx, MASK_HW[0] // hp, MASK_HW[1] // wp)
+    got = ops.guide_from_gathered(
+        jnp.moveaxis(gl, 0, -1), (hp, wp), MASK_HW, 1, planar=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_guide_from_s2d_720p_geometry():
     """The production 720p->288x512 taps are per-patch periodic (no
     fallback path)."""
