@@ -48,6 +48,13 @@ struct Pool {
     std::vector<uint8_t> batch[2];
     std::vector<uint64_t> batch_ids[2];
     int cur_batch = 0;
+    // guide-lane emission (vst_pool_enable_lanes): per-patch tap offsets
+    // (guide_s2d_sel planar order, ops/layout.py); during each stream's
+    // s2d pack the assembler also writes lanes[k, s, i, j] =
+    // packed[s, i, j, lane_sel[k]] -- the device-side guide gather's
+    // frame re-read never happens (pipeline guide_source='host').
+    std::vector<int32_t> lane_sel;
+    std::vector<uint8_t> lanes[2];  // nl * S * (H/b) * (W/b)
 };
 
 // Pack one natural RGB frame into s2d patch order.  Runs inside the batch
@@ -180,11 +187,23 @@ uint64_t vst_push_i420(void* pool, int s, const uint8_t* y, const uint8_t* u,
 // frame_ids_out (len S) receives the frame id captured per stream (0 if the
 // stream never produced).
 static void assemble_stream(Pool* p, int s, uint8_t* dst,
-                            uint64_t* frame_id_out) {
+                            uint64_t* frame_id_out,
+                            uint8_t* lanes_row = nullptr,
+                            size_t lanes_kstride = 0) {
     StreamRing& r = p->rings[s];
+    const int nl = static_cast<int>(p->lane_sel.size());
+    const size_t plane =
+        p->s2d_block > 0
+            ? static_cast<size_t>(p->height / p->s2d_block) *
+                  (p->width / p->s2d_block)
+            : 0;
     int slot = r.latest.load(std::memory_order_acquire);
     if (slot < 0) {
         std::memset(dst, 0, p->frame_bytes);
+        if (lanes_row)
+            for (int k = 0; k < nl; ++k)
+                std::memset(lanes_row + static_cast<size_t>(k) * lanes_kstride,
+                            0, plane);
         if (frame_id_out) *frame_id_out = 0;
         return;
     }
@@ -201,18 +220,66 @@ static void assemble_stream(Pool* p, int s, uint8_t* dst,
         if (s0 == s1) break;  // stable snapshot
         slot = r.latest.load(std::memory_order_acquire);
     }
+    if (lanes_row) {
+        // emit the guide tap lanes off the just-packed patch vectors
+        // (dst is our private buffer -- no seqlock concerns): each patch
+        // is read once while hot in cache, nl plane writes stream out.
+        const size_t patch =
+            static_cast<size_t>(p->s2d_block) * p->s2d_block * 3;
+        for (size_t pix = 0; pix < plane; ++pix) {
+            const uint8_t* pv = dst + pix * patch;
+            for (int k = 0; k < nl; ++k)
+                lanes_row[static_cast<size_t>(k) * lanes_kstride + pix] =
+                    pv[p->lane_sel[k]];
+        }
+    }
     uint64_t captured = r.frame_id.load(std::memory_order_relaxed);
     r.consumed_id.store(captured, std::memory_order_relaxed);
     if (frame_id_out) *frame_id_out = captured;
+}
+
+// Enable guide-lane emission on an s2d pool: sel holds nl per-patch tap
+// offsets (< b*b*3, guide_s2d_sel planar order).  Subsequent assembles
+// also fill a [nl, rows, H/b, W/b] uint8 lane tensor (vst_lanes_ptr).
+// Returns 0 on success, -1 on a non-s2d pool / bad args.
+int vst_pool_enable_lanes(void* pool, const int32_t* sel, int nl) {
+    Pool* p = static_cast<Pool*>(pool);
+    if (p->s2d_block <= 0 || nl <= 0 || !sel) return -1;
+    const int lim = p->s2d_block * p->s2d_block * 3;
+    for (int k = 0; k < nl; ++k)
+        if (sel[k] < 0 || sel[k] >= lim) return -1;
+    p->lane_sel.assign(sel, sel + nl);
+    const size_t plane = static_cast<size_t>(p->height / p->s2d_block) *
+                         (p->width / p->s2d_block);
+    for (int b = 0; b < 2; ++b)
+        p->lanes[b].resize(static_cast<size_t>(nl) * p->num_streams * plane);
+    return 0;
+}
+
+// Lanes of the CURRENT batch (the one vst_assemble_batch/_range just
+// returned): [nl, rows, H/b, W/b] uint8, rows = S (full) or end-begin
+// (ranged, compact row stride).  Valid until the next assemble.
+const uint8_t* vst_lanes_ptr(void* pool) {
+    Pool* p = static_cast<Pool*>(pool);
+    return p->lane_sel.empty() ? nullptr : p->lanes[p->cur_batch].data();
 }
 
 const uint8_t* vst_assemble_batch(void* pool, uint64_t* frame_ids_out) {
     Pool* p = static_cast<Pool*>(pool);
     int b = p->cur_batch ^ 1;  // write the other buffer
     uint8_t* out = p->batch[b].data();
+    const size_t plane =
+        p->s2d_block > 0
+            ? static_cast<size_t>(p->height / p->s2d_block) *
+                  (p->width / p->s2d_block)
+            : 0;
+    uint8_t* lanes = p->lane_sel.empty() ? nullptr : p->lanes[b].data();
+    const size_t kstride = static_cast<size_t>(p->num_streams) * plane;
     for (int s = 0; s < p->num_streams; ++s)
         assemble_stream(p, s, out + static_cast<size_t>(s) * p->frame_bytes,
-                        frame_ids_out ? frame_ids_out + s : nullptr);
+                        frame_ids_out ? frame_ids_out + s : nullptr,
+                        lanes ? lanes + static_cast<size_t>(s) * plane : nullptr,
+                        kstride);
     p->cur_batch = b;
     return out;
 }
@@ -227,10 +294,21 @@ const uint8_t* vst_assemble_range(void* pool, int begin, int end,
     if (begin < 0 || end > p->num_streams || begin >= end) return nullptr;
     int b = p->cur_batch ^ 1;
     uint8_t* out = p->batch[b].data();
+    const size_t plane =
+        p->s2d_block > 0
+            ? static_cast<size_t>(p->height / p->s2d_block) *
+                  (p->width / p->s2d_block)
+            : 0;
+    uint8_t* lanes = p->lane_sel.empty() ? nullptr : p->lanes[b].data();
+    // compact row stride: the ranged lane tensor is [nl, end-begin, ...]
+    const size_t kstride = static_cast<size_t>(end - begin) * plane;
     for (int s = begin; s < end; ++s)
         assemble_stream(p, s,
                         out + static_cast<size_t>(s - begin) * p->frame_bytes,
-                        frame_ids_out ? frame_ids_out + (s - begin) : nullptr);
+                        frame_ids_out ? frame_ids_out + (s - begin) : nullptr,
+                        lanes ? lanes + static_cast<size_t>(s - begin) * plane
+                              : nullptr,
+                        kstride);
     p->cur_batch = b;
     return out;
 }

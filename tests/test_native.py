@@ -215,3 +215,51 @@ def test_assemble_range_s2d(rng):
     grp, _ = pool.assemble_range(2, 4)
     np.testing.assert_array_equal(grp, full[2:4])
     pool.close()
+
+
+def test_native_guide_lanes_match_ops(rng):
+    """Pool guide-lane emission == ops.guide_lanes_s2d of the packed
+    batch (the guide_source='host' ingestion contract), full and ranged."""
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu import ops
+    from video_stream_segmenetation_tpu.runtime import native
+
+    if not native.native_available():
+        pytest.skip("native lib unavailable")
+    fh, fw, blk, mhw = 40, 80, 10, (16, 32)
+    sel = ops.guide_s2d_sel((fh, fw), mhw, blk, planar=True)
+    assert sel is not None
+    pool = native.FramePool(4, fh, fw, s2d_block=blk, guide_lanes=sel)
+    frames = (rng.random((4, fh, fw, 3)) * 255).astype(np.uint8)
+    for s in range(4):
+        pool.push_rgb(s, frames[s])
+    batch, _ = pool.assemble()
+    lanes = pool.lanes()
+    want, geom = ops.guide_lanes_s2d(
+        jnp.asarray(batch.copy()), (fh, fw), mhw, blk
+    )
+    assert lanes.shape == want.shape == (len(sel), 4, fh // blk, fw // blk)
+    np.testing.assert_array_equal(lanes, np.asarray(want))
+
+    grp, _ = pool.assemble_range(1, 3)
+    glanes = pool.lanes()
+    assert glanes.shape == (len(sel), 2, fh // blk, fw // blk)
+    np.testing.assert_array_equal(glanes, np.asarray(want)[:, 1:3])
+    pool.close()
+
+
+def test_native_guide_lanes_empty_stream_zeroed():
+    from video_stream_segmenetation_tpu import ops
+    from video_stream_segmenetation_tpu.runtime import native
+
+    if not native.native_available():
+        pytest.skip("native lib unavailable")
+    sel = ops.guide_s2d_sel((40, 80), (16, 32), 10, planar=True)
+    pool = native.FramePool(2, 40, 80, s2d_block=10, guide_lanes=sel)
+    pool.push_rgb(0, np.full((40, 80, 3), 200, np.uint8))
+    pool.assemble()
+    lanes = pool.lanes()
+    assert (lanes[:, 0] == 200).all()
+    assert (lanes[:, 1] == 0).all()
+    pool.close()

@@ -154,3 +154,38 @@ def test_pipelined_collect_failure_degrades(rng):
     # next dispatch/collect works again (state rolled back)
     out = eng.collect(eng.dispatch(f))
     assert out["frame"].shape == (2, 48, 64, 3)
+
+
+def test_scheduler_host_guide_lanes(rng):
+    """guide_source='host' end to end through the native pool: the
+    scheduler feeds (packed, lanes) tuples and the result matches the
+    gather-path scheduler bit-exactly."""
+    from video_stream_segmenetation_tpu.runtime import native
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+
+    if not native.native_available():
+        pytest.skip("native lib unavailable")
+    kw = dict(
+        frame_hw=(80, 160), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", use_fused_refine=True, guide_kernel_unfold=True,
+    )
+    frames = (rng.random((2, 80, 160, 3)) * 255).astype(np.uint8)
+    outs = []
+    for src in ("gather", "host"):
+        eng = Engine(
+            num_streams=2,
+            statics=preset("fast_int8_micro", guide_source=src, **kw),
+            rng_seed=0, donate_state=False,
+        )
+        sch = StreamScheduler(eng, use_native_pool=True, tick_hz=1000.0)
+        assert sch.pool is not None
+        if src == "host":
+            assert sch.pool.num_lanes > 0
+        sch.admit(); sch.admit()
+        for s in range(2):
+            sch.push_frame(s, frames[s])
+        for _ in range(2):
+            out = sch.step()
+        outs.append(np.asarray(out["alpha"]))
+        sch.stop()
+    np.testing.assert_array_equal(outs[0], outs[1])

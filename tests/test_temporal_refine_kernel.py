@@ -341,3 +341,44 @@ def test_engine_planar_guide_branch(rng):
         assert out["metrics"]["health"]["state"] == "ok"
         outs.append(np.asarray(out["alpha"]))
     np.testing.assert_allclose(outs[0], outs[1], rtol=3e-5, atol=3e-5)
+
+
+def test_engine_host_guide_lanes_matches_gather(rng):
+    """guide_source='host' (frames as a (packed, lanes) tuple, or natural
+    input with the convenience device gather) == guide_source='gather',
+    bit-exact: the lanes carry the identical u8 taps."""
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu import ops
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+    from video_stream_segmenetation_tpu.service import Engine
+
+    kw = dict(
+        frame_hw=(80, 160), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", use_fused_refine=True, guide_kernel_unfold=True,
+    )
+    st_gather = preset("fast_int8_micro", guide_source="gather", **kw)
+    st_host = preset("fast_int8_micro", guide_source="host", **kw)
+    frames = (rng.random((2, 80, 160, 3)) * 255).astype(np.uint8)
+    packed = ops.space_to_depth(jnp.asarray(frames), st_host.s2d_block)
+    lanes, _ = ops.guide_lanes_s2d(
+        packed, st_host.frame_hw, st_host.mask_hw, st_host.s2d_block
+    )
+
+    def run(st, feed):
+        eng = Engine(num_streams=2, statics=st, rng_seed=0, donate_state=False)
+        eng.admit(); eng.admit()
+        for _ in range(2):
+            out = eng.process(feed)
+        assert out["metrics"]["health"]["state"] == "ok"
+        return np.asarray(out["alpha"]), np.asarray(out["frame"])
+
+    a0, f0 = run(st_gather, frames)
+    a1, f1 = run(st_host, (np.asarray(packed), np.asarray(lanes)))
+    a2, f2 = run(st_host, frames)  # natural input -> device-side lanes
+    np.testing.assert_array_equal(a1, a0)
+    np.testing.assert_array_equal(a2, a0)
+    if f1.shape[-1] != 3:  # tuple-input output may stay packed
+        f1 = np.asarray(ops.depth_to_space(jnp.asarray(f1), st_host.s2d_block))
+    np.testing.assert_array_equal(f1, f0)
+    np.testing.assert_array_equal(f2, f0)

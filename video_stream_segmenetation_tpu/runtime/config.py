@@ -248,6 +248,14 @@ class PipelineStatics:
     # planar guide reassembly relayout never exists in HBM.  'auto' =
     # on for the TPU fast path, off elsewhere; False/True force.
     guide_kernel_unfold: Any = False
+    # where the raw guide lanes come from when guide_kernel_unfold is on:
+    # 'gather' = one-hot MXU dot off the packed frames on device
+    # (ops/layout.py::guide_lanes_s2d, re-reads the 176 MB frame batch);
+    # 'host' = the step takes frames as a (packed, lanes) tuple -- the
+    # native framebuf emits the <=48 tap lanes during its s2d pack
+    # (native/framebuf.cpp) at ingestion, like the packing itself, so the
+    # device never re-reads the frames for the guide.
+    guide_source: str = "gather"
     # dtype of the kernel's refined-alpha output: 'f32' (exact) or
     # 'bf16' (halves its HBM write + the composite's read; the packed
     # composite dot reads it as bf16 anyway, so the composite output is

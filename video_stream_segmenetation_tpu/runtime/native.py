@@ -53,6 +53,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint64),
     ]
+    lib.vst_pool_enable_lanes.restype = ctypes.c_int
+    lib.vst_pool_enable_lanes.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+    ]
+    lib.vst_lanes_ptr.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.vst_lanes_ptr.argtypes = [ctypes.c_void_p]
     lib.vst_stream_drops.restype = ctypes.c_uint64
     lib.vst_stream_drops.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.vst_frame_bytes.restype = ctypes.c_int
@@ -121,11 +127,18 @@ class FramePool:
     """Host-side frame staging for S streams of HxW RGB frames."""
 
     def __init__(self, num_streams: int, height: int, width: int,
-                 s2d_block: int = 0):
+                 s2d_block: int = 0, guide_lanes=None):
         """s2d_block=b > 0: assembled batches come out space-to-depth
         packed [S, H/b, W/b, b*b*3] (the TPU ingestion layout,
         ops/layout.py) -- the pack replaces the assembly memcpy, so the
-        permutation is host-free."""
+        permutation is host-free.
+
+        guide_lanes: optional int sequence of per-patch tap offsets
+        (ops.guide_s2d_sel(..., planar=True)); the assembler then also
+        emits the raw guide-lane tensor [nl, rows, H/b, W/b] during the
+        pack (read via :meth:`lanes` after each assemble) -- the
+        device-side guide gather's frame re-read never happens
+        (pipeline guide_source='host')."""
         self._lib = _load()
         self.num_streams = num_streams
         self.height = height
@@ -139,6 +152,20 @@ class FramePool:
         if not self._pool:
             raise RuntimeError("vst_pool_create failed")
         self._ids = (ctypes.c_uint64 * num_streams)()
+        self.num_lanes = 0
+        self._last_rows = num_streams
+        if guide_lanes is not None:
+            sel = np.ascontiguousarray(guide_lanes, np.int32)
+            if not s2d_block:
+                raise ValueError("guide_lanes requires s2d_block > 0")
+            rc = self._lib.vst_pool_enable_lanes(
+                self._pool,
+                sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(sel),
+            )
+            if rc != 0:
+                raise ValueError("vst_pool_enable_lanes rejected the taps")
+            self.num_lanes = len(sel)
 
     def close(self):
         if self._pool:
@@ -182,6 +209,7 @@ class FramePool:
         (0 where a stream has produced nothing yet).
         """
         ptr = self._lib.vst_assemble_batch(self._pool, self._ids)
+        self._last_rows = self.num_streams
         n = self.num_streams * self.height * self.width * 3
         buf = np.ctypeslib.as_array(ptr, shape=(n,))
         if self.s2d_block:
@@ -202,6 +230,7 @@ class FramePool:
             raise ValueError(f"bad range [{begin}, {end})")
         g = end - begin
         ptr = self._lib.vst_assemble_range(self._pool, begin, end, self._ids)
+        self._last_rows = g
         n = g * self.height * self.width * 3
         buf = np.ctypeslib.as_array(ptr, shape=(n,))
         if self.s2d_block:
@@ -210,6 +239,21 @@ class FramePool:
         else:
             batch = buf.reshape(g, self.height, self.width, 3)
         return batch, np.asarray(self._ids[:g], dtype=np.uint64).copy()
+
+    def lanes(self) -> np.ndarray:
+        """Guide-lane tensor of the CURRENT batch (the last assemble /
+        assemble_range): zero-copy uint8 view [nl, rows, H/b, W/b], rows =
+        S for assemble() or end-begin for assemble_range().  Valid until
+        the next assemble."""
+        if not self.num_lanes:
+            raise RuntimeError("pool created without guide_lanes")
+        ptr = self._lib.vst_lanes_ptr(self._pool)
+        b = self.s2d_block
+        hp, wp = self.height // b, self.width // b
+        n = self.num_lanes * self._last_rows * hp * wp
+        return np.ctypeslib.as_array(ptr, shape=(n,)).reshape(
+            self.num_lanes, self._last_rows, hp, wp
+        )
 
     def drops(self, stream: int) -> int:
         """Frames overwritten before ever being batched (producer faster

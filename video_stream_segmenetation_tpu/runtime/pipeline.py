@@ -497,10 +497,19 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
         if (statics.refined_dtype == "bf16" and use_fused_tr)
         else None
     )
+    # host-produced guide lanes: the step takes frames as a
+    # (packed, lanes) tuple -- the native framebuf emits the tap lanes
+    # during its s2d pack, so the device never re-reads the frame batch
+    # for the guide (config.py guide_source)
+    host_lanes = use_guide_lanes and statics.guide_source == "host"
 
     def step(params, state: StreamState, frames_u8, background, knobs: PipelineKnobs, face_gate):
         """frames_u8: [S,H,W,3] natural, or s2d-packed [S,H/b,W/b,b*b*3]
-        when statics.frame_layout == 's2d' (ops/layout.py)."""
+        when statics.frame_layout == 's2d' (ops/layout.py); with
+        guide_source='host' a (packed, guide_lanes [nl,S,hp,wp]) tuple."""
+        host_guide_lanes = None
+        if host_lanes:
+            frames_u8, host_guide_lanes = frames_u8
         s = frames_u8.shape[0]
         # natural-layout view: the matting model consumes frames_u8 as
         # delivered (the packed layout feeds the stem matmul directly);
@@ -569,9 +578,12 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                     # raw lanes: the planar reassembly happens in VMEM
                     # inside the fused kernel (and per cadence-subset in
                     # the face path) -- no full-batch planar guide in HBM
-                    guide_lanes, _ = ops.guide_lanes_s2d(
-                        frames_u8, (fh, fw), (mh, mw), statics.s2d_block
-                    )
+                    if host_guide_lanes is not None:
+                        guide_lanes = host_guide_lanes
+                    else:
+                        guide_lanes, _ = ops.guide_lanes_s2d(
+                            frames_u8, (fh, fw), (mh, mw), statics.s2d_block
+                        )
                     guide_pl_u8 = None
                     small = None
                 elif s2d and planar_guide:

@@ -60,7 +60,20 @@ class StreamScheduler:
                     if engine.statics.frame_layout == "s2d"
                     else 0
                 )
-                self.pool = FramePool(engine.num_streams, fh, fw, s2d_block=blk)
+                sel = None
+                if blk and engine.statics.guide_source == "host":
+                    # the pool emits the guide tap lanes during its pack
+                    # (pipeline guide_source='host'): the step takes
+                    # (packed, lanes) and never re-reads the frames
+                    from video_stream_segmenetation_tpu import ops as _ops
+
+                    sel = _ops.guide_s2d_sel(
+                        (fh, fw), engine.statics.mask_hw, blk, planar=True
+                    )
+                self.pool = FramePool(
+                    engine.num_streams, fh, fw, s2d_block=blk,
+                    guide_lanes=sel,
+                )
             except Exception:
                 self.pool = None  # fall back to host-side arrays
         self._frames = np.zeros((engine.num_streams, fh, fw, 3), np.uint8)
@@ -112,12 +125,16 @@ class StreamScheduler:
                 # batch assemble at groups x the tick rate would re-copy
                 # (groups-1)/groups of the frames just to discard them)
                 gbatch, ids = self.pool.assemble_range(g * gs, (g + 1) * gs)
+                if self.pool.num_lanes:
+                    gbatch = (gbatch, self.pool.lanes())
             else:
                 gbatch, ids = self._frames[g * gs:(g + 1) * gs], None
             out = self.engine.process_group(g, self.groups, gbatch)
         else:
             if self.pool is not None:
                 batch, ids = self.pool.assemble()
+                if self.pool.num_lanes:
+                    batch = (batch, self.pool.lanes())
             else:
                 batch, ids = self._frames, None
             out = self.engine.process(batch)
@@ -135,6 +152,8 @@ class StreamScheduler:
             # the pool's double buffer alternates, so batch N stays valid
             # while N+1 assembles into the other buffer: safe at depth 1
             batch, ids = self.pool.assemble()
+            if self.pool.num_lanes:
+                batch = (batch, self.pool.lanes())
         else:
             # host-array fallback: jnp.asarray may alias numpy memory
             # (CPU zero-copy); copy so the next tick's mutation cannot

@@ -93,6 +93,23 @@ class Engine:
         else:
             self._pack_frames = None
             self._unpack_frames = None
+        # guide_source='host': the step consumes (packed, guide_lanes)
+        # (pipeline.py host_lanes; production lanes come from the native
+        # framebuf's pack pass, FramePool(guide_lanes=...)).  The
+        # device-side lanes gather here covers convenience callers that
+        # pass natural/packed arrays.
+        self._make_lanes = None
+        if (
+            self.statics.frame_layout == "s2d"
+            and self.statics.guide_source == "host"
+        ):
+            from video_stream_segmenetation_tpu import ops as _ops
+
+            blk = self.statics.s2d_block
+            fhw, mhw = self.statics.frame_hw, self.statics.mask_hw
+            self._make_lanes = jax.jit(
+                lambda f: _ops.guide_lanes_s2d(f, fhw, mhw, blk)[0]
+            )
 
         self.active = np.zeros((num_streams,), bool)
         self.counters = Counters()
@@ -299,6 +316,24 @@ class Engine:
                 k: jnp.asarray(v) for k, v in kw.items()
             })
 
+    def _ingest(self, frames):
+        """Normalize step input.  Returns (frames_in, step_frames):
+        frames_in is the array used for passthrough output; step_frames is
+        what the jitted step consumes -- a (packed, guide_lanes) tuple when
+        guide_source='host' (lanes from the native framebuf pack pass, or
+        gathered on device here for convenience callers)."""
+        if isinstance(frames, tuple):
+            packed = jnp.asarray(frames[0], dtype=jnp.uint8)
+            lanes = jnp.asarray(frames[1], dtype=jnp.uint8)
+            return packed, (packed, lanes)
+        frames_in = jnp.asarray(frames, dtype=jnp.uint8)
+        fj = frames_in
+        if self._pack_frames is not None and fj.shape[-1] == 3:
+            fj = self._pack_frames(fj)
+        if self._make_lanes is not None:
+            return frames_in, (fj, self._make_lanes(fj))
+        return frames_in, fj
+
     # ---- the serving step ---------------------------------------------
     def process(self, frames: np.ndarray) -> dict:
         """One batch step: frames uint8 [S, H, W, 3] (row s ignored for
@@ -312,10 +347,7 @@ class Engine:
             (now - self._last_face_at) >= self.face_min_interval_s
         )
 
-        frames_in = jnp.asarray(frames, dtype=jnp.uint8)
-        frames_j = frames_in
-        if self._pack_frames is not None and frames_j.shape[-1] == 3:
-            frames_j = self._pack_frames(frames_j)
+        frames_in, frames_j = self._ingest(frames)
         degraded = self.health.state is EngineHealth.DEGRADED and not self.health.should_probe
         extras = {}
         if degraded:
@@ -385,10 +417,7 @@ class Engine:
         gate = jnp.asarray(
             (now - self._last_face_at) >= self.face_min_interval_s
         )
-        frames_in = jnp.asarray(frames, dtype=jnp.uint8)
-        frames_j = frames_in
-        if self._pack_frames is not None and frames_j.shape[-1] == 3:
-            frames_j = self._pack_frames(frames_j)
+        frames_in, frames_j = self._ingest(frames)
         token = {"t0": t0, "now": now, "frames_in": frames_in}
         degraded = (
             self.health.state is EngineHealth.DEGRADED
@@ -479,10 +508,7 @@ class Engine:
         gate = jnp.asarray(
             (now - self._last_face_at[i0:i1]) >= self.face_min_interval_s
         )
-        frames_in = jnp.asarray(frames, dtype=jnp.uint8)
-        frames_j = frames_in
-        if self._pack_frames is not None and frames_j.shape[-1] == 3:
-            frames_j = self._pack_frames(frames_j)
+        frames_in, frames_j = self._ingest(frames)
 
         rows = lambda tree: jax.tree_util.tree_map(lambda x: x[i0:i1], tree)
         degraded = (
@@ -543,10 +569,7 @@ class Engine:
         self._apply_staged()
         now = time.monotonic()
         gate_np = (now - self._last_face_at) >= self.face_min_interval_s
-        frames_in = jnp.asarray(frames, dtype=jnp.uint8)
-        frames_j = frames_in
-        if self._pack_frames is not None and frames_j.shape[-1] == 3:
-            frames_j = self._pack_frames(frames_j)
+        frames_in, frames_j = self._ingest(frames)
 
         def rows(tree, i0, i1):
             return jax.tree_util.tree_map(lambda x: x[i0:i1], tree)
