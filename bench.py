@@ -71,6 +71,21 @@ def main() -> None:
             statics.s2d_block,
         )
     )(key)
+
+    def with_lanes(fr):
+        # guide_source='host': the step takes (packed, lanes) -- in
+        # production the native framebuf emits the lanes during its pack
+        # (native/framebuf.cpp); here they are derived once at setup,
+        # like the packing itself (host ingest work, not device step time)
+        if statics.guide_source != "host":
+            return fr
+        return fr, jax.jit(
+            lambda f: ops.guide_lanes_s2d(
+                f, statics.frame_hw, statics.mask_hw, statics.s2d_block
+            )[0]
+        )(fr)
+
+    frames_dev = with_lanes(frames_dev)
     bgs = engine.backgrounds
     gate = jnp.ones((S,), bool)
 
@@ -135,6 +150,7 @@ def main() -> None:
                 statics.s2d_block,
             )
         )(key)
+        bframes = with_lanes(bframes)
         bgate = jnp.ones((S_BIG,), bool)
 
         def run_big_chain(nsteps, bstate):
@@ -166,7 +182,10 @@ def main() -> None:
     GS = S // 4
     rows = lambda tree: jax.tree_util.tree_map(lambda x: x[:GS], tree)
     gstate0 = rows(engine.state)
-    gframes = frames_dev[:GS]
+    if isinstance(frames_dev, tuple):
+        gframes = (frames_dev[0][:GS], frames_dev[1][:, :GS])
+    else:
+        gframes = frames_dev[:GS]
     gbgs = bgs[:GS]
     gknobs = rows(engine.knobs)
     ggate = jnp.ones((GS,), bool)

@@ -66,6 +66,17 @@ fp = jax.jit(
         statics.s2d_block,
     )
 )(key)
+def _with_lanes(fr):
+    # guide_source='host': step input is (packed, lanes) -- lanes are
+    # host-ingest work in production (native framebuf), derived at setup
+    if statics.guide_source != "host":
+        return fr
+    return fr, jax.jit(
+        lambda f: ops.guide_lanes_s2d(
+            f, statics.frame_hw, statics.mask_hw, statics.s2d_block
+        )[0]
+    )(fr)
+fp = _with_lanes(fp)
 eng = Engine(num_streams=S, statics=statics, donate_state=False)
 for _ in range(S):
     eng.admit()
@@ -94,11 +105,27 @@ if _os.environ.get("VST_SCAN"):
             statics.s2d_block,
         )
     )(key)
+    if statics.guide_source == "host":
+        fstack = (fstack, jax.jit(
+            lambda st_: jnp.stack([
+                ops.guide_lanes_s2d(
+                    st_[i], statics.frame_hw, statics.mask_hw,
+                    statics.s2d_block,
+                )[0]
+                for i in range(NBUF)
+            ])
+        )(fstack))
 
     def _scan_chain(params, st0, stack, bgs, knobs, gate, n):
         def body(carry, i):
             st, acc = carry
-            f = jax.lax.dynamic_index_in_dim(stack, i %% NBUF, 0, keepdims=False)
+            if isinstance(stack, tuple):
+                f = (
+                    jax.lax.dynamic_index_in_dim(stack[0], i %% NBUF, 0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(stack[1], i %% NBUF, 0, keepdims=False),
+                )
+            else:
+                f = jax.lax.dynamic_index_in_dim(stack, i %% NBUF, 0, keepdims=False)
             st, out = step_fn(params, st, f, bgs, knobs, gate)
             acc = acc + jnp.sum(out["frame"], dtype=jnp.float32)
             return (st, acc), None
