@@ -574,6 +574,12 @@ class Engine:
         def rows(tree, i0, i1):
             return jax.tree_util.tree_map(lambda x: x[i0:i1], tree)
 
+        def frame_rows(fj, i0, i1):
+            # (packed, lanes) step input: lanes carry streams on axis 1
+            if isinstance(fj, tuple):
+                return (fj[0][i0:i1], fj[1][:, i0:i1])
+            return fj[i0:i1]
+
         degraded = (
             self.health.state is EngineHealth.DEGRADED
             and not self.health.should_probe
@@ -590,7 +596,7 @@ class Engine:
                     st, out = self._step(
                         self.bundle.params,
                         rows(self.state, i0, i1),
-                        frames_j[i0:i1],
+                        frame_rows(frames_j, i0, i1),
                         self.backgrounds[i0:i1],
                         rows(self.knobs, i0, i1),
                         jnp.asarray(gate_np[i0:i1]),
