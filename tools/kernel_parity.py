@@ -189,16 +189,22 @@ def trunk_megakernel_case():
 
 
 def main() -> None:
+    # (case, tolerance): the mask-space kernels and int8 convs must be
+    # bit-exact; the whole-trunk megakernel compares raw f32 alpha
+    # LOGITS through an SE sigmoid, where the chip's transcendental
+    # approximation differs from the interpreter's -- a few 1e-2 on
+    # logits spanning ~[-10,10] (<1e-2 on post-sigmoid alpha) is the
+    # expected hardware envelope, not a kernel bug.
     cases = {
-        "fused_refine": fused_refine_case,
-        "fused_temporal_refine": fused_temporal_refine_case,
-        "fused_temporal_refine_fast": fused_temporal_refine_fast_case,
-        "fused_composite": fused_composite_case,
-        "conv3x3_i8_fused": conv_int8_case,
-        "trunk_megakernel_alpha": trunk_megakernel_case,
+        "fused_refine": (fused_refine_case, 1e-5),
+        "fused_temporal_refine": (fused_temporal_refine_case, 1e-5),
+        "fused_temporal_refine_fast": (fused_temporal_refine_fast_case, 1e-5),
+        "fused_composite": (fused_composite_case, 1e-5),
+        "conv3x3_i8_fused": (conv_int8_case, 1e-5),
+        "trunk_megakernel_alpha": (trunk_megakernel_case, 0.05),
     }
     report = {"device": str(jax.devices()[0]), "cases": {}}
-    for name, mk in cases.items():
+    for name, (mk, tol) in cases.items():
         try:
             run = mk()
             compiled = run(False)
@@ -215,7 +221,9 @@ def main() -> None:
                     )
                 )
                 maxd = max(maxd, d)
-            report["cases"][name] = {"max_abs_diff": maxd, "ok": True}
+            report["cases"][name] = {
+                "max_abs_diff": maxd, "tol": tol, "ok": maxd <= tol,
+            }
         except Exception as e:
             report["cases"][name] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
         print(name, report["cases"][name], flush=True)

@@ -91,7 +91,11 @@ _PRESETS = {
     ),
     # plan-F pico trunk (matting_decoder='pico'): the nano structure at
     # reduced deep widths (c2 128, c3 192; ~38% fewer MACs) -- the next
-    # point on the width/quality study (benchmarks/RESULTS.md)
+    # point on the width/quality study (benchmarks/RESULTS.md).
+    # refined_dtype='bf16': the refine kernel's alpha output (composite
+    # reads it as bf16 anyway; EMA state stays f32) -- the only phase-2
+    # boundary cut that won on the chip (2026-08-19 ablation; lowres
+    # alpha src neutral, guide-lane unfold negative -- both stay opt-in).
     "fast_int8_pico": dict(
         matting_input="native",
         guide_impl="nearest_u8",
@@ -104,6 +108,7 @@ _PRESETS = {
         matting_decoder="pico",
         crop_impl="mxu",
         resize_impl="mxu",
+        refined_dtype="bf16",
     ),
     # plan-G femto trunk (matting_decoder='femto'): every trunk level at
     # exactly one 128-lane group -- the knee-hunt point below pico
