@@ -109,10 +109,28 @@ def _face_subpath(bundle, params, frames_f32, fire, statics: PipelineStatics,
     fd_in = _letterbox_to_square(
         frames_f32, (fh, fw), statics.fd_size, impl=statics.resize_impl
     )
-    det = bundle.face_model.apply(params["face"], fd_in)
-    box, score, det_valid = ops.best_box_decode(
-        det["box_coords"], det["box_scores"], (fh, fw), statics.fd_size, letterboxed=True
-    )
+    if "fd_stub" in statics.debug_stage:
+        # bench-only attribution: gather + letterbox WITHOUT the detector
+        # forward.  An fd_in-dependent epsilon keeps the input path alive
+        # (no DCE); combine with fd_only for the pure ingest cost, and
+        # fd_only minus fd_only,fd_stub = the FaceFinder forward itself.
+        eps = jnp.sum(fd_in.astype(jnp.float32)) * 1e-20
+        box = (
+            jnp.broadcast_to(
+                jnp.asarray(
+                    [fw * 0.3, fh * 0.2, fw * 0.7, fh * 0.8], jnp.float32
+                ),
+                (s, 4),
+            )
+            + eps
+        )
+        score = jnp.full((s,), 0.9, jnp.float32) + eps
+        det_valid = jnp.ones((s,), bool)
+    else:
+        det = bundle.face_model.apply(params["face"], fd_in)
+        box, score, det_valid = ops.best_box_decode(
+            det["box_coords"], det["box_scores"], (fh, fw), statics.fd_size, letterboxed=True
+        )
     det_ok = fire & det_valid & (score >= statics.face_score_thresh)
 
     if "fd_only" in statics.debug_stage:
