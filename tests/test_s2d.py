@@ -117,6 +117,27 @@ def test_alpha_composite_s2d_dot30_matches_per_dy(rng):
         np.testing.assert_array_equal(got, ref)
 
 
+def test_alpha_composite_s2d_s_chunk_identical(rng):
+    """Stream-axis chunking (the S>64 relayout-copy workaround) is pure
+    slicing -- bit-identical to the unchunked form, including an uneven
+    tail chunk and a shared (broadcast-1) background."""
+    import jax.numpy as jnp
+
+    s = 5
+    frames = jnp.asarray((rng.random((s, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    bg = jnp.asarray((rng.random((s, *FRAME_HW, 3)) * 255).astype(np.uint8))
+    alpha = jnp.asarray(rng.random((s, *MASK_HW)).astype(np.float32))
+    fp, bp = ops.space_to_depth(frames, BLK), ops.space_to_depth(bg, BLK)
+    for impl in ("per_dy", "dot30"):
+        ref = np.asarray(ops.alpha_composite_s2d(
+            fp, alpha, bp, FRAME_HW, BLK, impl=impl
+        ))
+        got = np.asarray(ops.alpha_composite_s2d(
+            fp, alpha, bp, FRAME_HW, BLK, impl=impl, s_chunk=2
+        ))
+        np.testing.assert_array_equal(got, ref)
+
+
 @pytest.fixture(scope="module")
 def hd():
     model = models.MatteNetHD(width=0.5)

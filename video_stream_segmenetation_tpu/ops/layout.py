@@ -245,6 +245,7 @@ def alpha_composite_s2d(
     method: Method = "half_pixel",
     precision=None,
     impl: str = "per_dy",
+    s_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Upsample + composite entirely in the packed layout -- no transposes.
 
@@ -272,6 +273,27 @@ def alpha_composite_s2d(
     host-side while encoding, native/framebuf.cpp).
     """
     import jax
+
+    # Stream-axis chunking (s_chunk): above ~64 streams XLA's emitter for
+    # the dot30 blend ("EmitAllBatchInSublanes") stops reading the packed
+    # u8 operands in their native {2,3,1,0} layout and inserts full
+    # {2,0,3,1} relayout copies of BOTH frame_p and bg_p (337.5 MB each
+    # at S=128 -- the whole S=128 per-stream degradation in the 2026-08-19
+    # HLO census).  Composing in <= s_chunk slices keeps every dot at the
+    # copy-free S<=64 shape; pure stream slicing, bit-identical output.
+    if s_chunk and frame_p.shape[0] > s_chunk:
+        outs = []
+        for lo in range(0, frame_p.shape[0], s_chunk):
+            hi = min(lo + s_chunk, frame_p.shape[0])
+            outs.append(
+                alpha_composite_s2d(
+                    frame_p[lo:hi], alpha[lo:hi],
+                    bg_p[lo:hi] if bg_p.shape[0] == frame_p.shape[0] else bg_p,
+                    frame_hw, block, method=method, precision=precision,
+                    impl=impl, s_chunk=None,
+                )
+            )
+        return jnp.concatenate(outs, axis=0)
 
     fh, fw = frame_hw
     b = block

@@ -210,6 +210,12 @@ class PipelineStatics:
     # matrix so the blend fuses as the dot epilogue; 3x MACs, zero
     # relayout -- in-context step 8.97 -> 8.13 ms at S=64, the default)
     s2d_composite_impl: str = "dot30"
+    # stream-axis chunk for the packed composite: above ~64 streams XLA
+    # relayout-copies BOTH packed u8 operands (337.5 MB each at S=128 --
+    # the S=128 per-stream degradation, HLO census 2026-08-19); chunking
+    # keeps every blend dot at the copy-free S<=64 shape.  'auto' = 64 on
+    # TPU, off elsewhere; None/0 disables; an int forces that chunk.
+    s2d_composite_s_chunk: Any = "auto"
     # MatteNetHD decoder plan ('full' = plan B; 'light' = plan C lite
     # trunk, ~43% fewer FLOPs with edge detail delegated to the guided
     # refine stage -- see models/mattenet_hd.py)

@@ -849,10 +849,13 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 if statics.upsample_precision == "fast"
                 else _jax.lax.Precision.HIGHEST
             )
+            _sc = statics.s2d_composite_s_chunk
+            if _sc == "auto":
+                _sc = 64 if _on_tpu else None
             out_u8 = ops.alpha_composite_s2d(
                 frames_u8, a, bg_p, (fh, fw), blk,
                 method=statics.upsample_method, precision=prec,
-                impl=statics.s2d_composite_impl,
+                impl=statics.s2d_composite_impl, s_chunk=_sc,
             )
         elif use_fc:
             if statics.background == "color":
