@@ -851,7 +851,10 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             )
             _sc = statics.s2d_composite_s_chunk
             if _sc == "auto":
-                _sc = 64 if _on_tpu else None
+                # the relayout cliff starts between S=96 (clean, and
+                # chunking 64+32 there LOSES 0.9 ms) and S=112; engage
+                # only above it (benchmarks/RESULTS.md 2026-08-19 sweep)
+                _sc = 64 if (_on_tpu and frames_u8.shape[0] > 96) else None
             out_u8 = ops.alpha_composite_s2d(
                 frames_u8, a, bg_p, (fh, fw), blk,
                 method=statics.upsample_method, precision=prec,
