@@ -132,13 +132,15 @@ def main() -> None:
     # how many 720p30 streams this chip sustains at this step latency
     streams_sustained = S * min(budget_ms / p50, 4.0)  # cap the extrapolation
 
-    # ---- capacity probe at S=128: when the S=64 extrapolation saturates
-    # its honesty cap (4x), a directly-measured bigger batch shows the
-    # chip's real capacity at only ~2x extrapolation (per-stream cost
-    # rises with S, so this is the batch the capacity claim should come
-    # from; S=256 measured worse -- benchmarks/RESULTS.md).
+    # ---- capacity probe at S=96: when the S=64 extrapolation saturates
+    # its honesty cap (4x), a directly-measured bigger batch grounds the
+    # capacity claim.  The 2026-08-19 batch sweep (benchmarks/RESULTS.md)
+    # found S=96 is the per-stream sweet spot: 0.0817 ms/stream vs 0.0930
+    # at S=64 (fixed per-step costs amortize) and vs 0.095+ at S>=112
+    # (XLA flips the packed-frames entry layout above S=96, inserting
+    # relayout copies that stream-chunking only partially recovers).
     p50_big = None
-    S_BIG = 2 * S
+    S_BIG = 96
     if budget_ms / p50 > 4.0:
         big = Engine(num_streams=S_BIG, statics=statics, donate_state=False)
         for _ in range(S_BIG):
