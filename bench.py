@@ -132,51 +132,111 @@ def main() -> None:
     # how many 720p30 streams this chip sustains at this step latency
     streams_sustained = S * min(budget_ms / p50, 4.0)  # cap the extrapolation
 
-    # ---- capacity probe at S=96: when the S=64 extrapolation saturates
-    # its honesty cap (4x), a directly-measured bigger batch grounds the
-    # capacity claim.  The 2026-08-19 batch sweep (benchmarks/RESULTS.md)
-    # found S=96 is the per-stream sweet spot: 0.0817 ms/stream vs 0.0930
-    # at S=64 (fixed per-step costs amortize) and vs 0.095+ at S>=112
-    # (XLA flips the packed-frames entry layout above S=96, inserting
-    # relayout copies that stream-chunking only partially recovers).
-    p50_big = None
-    S_BIG = 96
+    # ---- capacity: time-multiplexed round-robin, DIRECTLY measured ----
+    # When the S=64 extrapolation saturates its honesty cap (4x), the
+    # capacity claim comes from an actually-executed serving schedule
+    # instead of any extrapolation: M disjoint 96-stream groups (plus an
+    # optional 16-stream remainder group) stepped round-robin through the
+    # compiled step -- exactly StreamScheduler's group rotation.  If one
+    # full round fits the 33.33 ms frame budget, every admitted stream
+    # got a frame at 30 fps: the total IS the sustained count.  S=96 per
+    # group is the measured per-stream sweet spot (0.0817 ms/stream,
+    # benchmarks/RESULTS.md batch sweep: fixed per-step costs amortize up
+    # to 96; XLA flips the packed-frames entry layout at S>=97 and
+    # per-stream cost jumps ~19%), so 4x96 fills the budget best; the
+    # remainder group packs the leftover ~2 ms.
+    multiplex = None
     if budget_ms / p50 > 4.0:
-        big = Engine(num_streams=S_BIG, statics=statics, donate_state=False)
-        for _ in range(S_BIG):
+        S_G, M = 96, 4
+        big = Engine(num_streams=S_G, statics=statics, donate_state=False)
+        for _ in range(S_G):
             big.admit()
-        bframes = jax.jit(
-            lambda k: ops.space_to_depth(
-                (jax.random.uniform(k, (S_BIG, *statics.frame_hw, 3)) * 255)
-                .astype(jnp.uint8),
-                statics.s2d_block,
-            )
-        )(key)
-        bframes = with_lanes(bframes)
-        bgate = jnp.ones((S_BIG,), bool)
 
-        def run_big_chain(nsteps, bstate):
-            for _ in range(nsteps):
-                bstate, bout = big._step(
-                    big.bundle.params, bstate, bframes, big.backgrounds,
-                    big.knobs, bgate,
+        def group_inputs(sg):
+            fr = jax.jit(
+                lambda k: ops.space_to_depth(
+                    (jax.random.uniform(k, (sg, *statics.frame_hw, 3)) * 255)
+                    .astype(jnp.uint8),
+                    statics.s2d_block,
                 )
-            return bstate, bout
+            )(key)
+            return with_lanes(fr)
 
-        bstate, bout = run_big_chain(2, big.state)  # warmup / compile
-        _ = np.asarray(reducer(bout["frame"]))
-        bsamples = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            bstate, bout = run_big_chain(n, bstate)
-            _ = np.asarray(reducer(bout["frame"]))
-            total_ms = (time.perf_counter() - t0) * 1e3
-            bsamples.append(max(total_ms - rtt_ms, 0.0) / n)
-        bsamples.sort()
-        p50_big = bsamples[len(bsamples) // 2]
-        streams_sustained = max(
-            streams_sustained, S_BIG * min(budget_ms / p50_big, 4.0)
-        )
+        bframes = group_inputs(S_G)
+        bgate = jnp.ones((S_G,), bool)
+        copy_tree = lambda t: jax.tree_util.tree_map(lambda x: x + 0, t)
+        bstates = [copy_tree(big.state) for _ in range(M)]
+
+        def measure_round(nrounds, states, extra=None):
+            # chained rounds; one scalar sync at the end (tunnel rules)
+            out = None
+            for _ in range(nrounds):
+                for g in range(M):
+                    states[g], out = big._step(
+                        big.bundle.params, states[g], bframes,
+                        big.backgrounds, big.knobs, bgate,
+                    )
+                if extra is not None:
+                    extra["state"], out = big._step(
+                        big.bundle.params, extra["state"], extra["frames"],
+                        extra["bgs"], extra["knobs"], extra["gate"],
+                    )
+            return states, out
+
+        def time_rounds(extra=None):
+            states = [copy_tree(big.state) for _ in range(M)]
+            states, out = measure_round(2, states, extra)  # warmup/compile
+            _ = np.asarray(reducer(out["frame"]))
+            rsamples = []
+            nr = 12
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                states, out = measure_round(nr, states, extra)
+                _ = np.asarray(reducer(out["frame"]))
+                total_ms = (time.perf_counter() - t0) * 1e3
+                rsamples.append(max(total_ms - rtt_ms, 0.0) / nr)
+            rsamples.sort()
+            return rsamples[len(rsamples) // 2]
+
+        round_ms = time_rounds()
+        total = M * S_G
+        best = (total, round_ms, 0) if round_ms <= budget_ms else None
+        # pack the leftover budget with a 16-stream remainder group
+        S_R = 16
+        if best is not None:
+            rows = lambda t: jax.tree_util.tree_map(lambda x: x[:S_R], t)
+            extra = {
+                "state": rows(copy_tree(big.state)),
+                "frames": group_inputs(S_R),
+                "bgs": big.backgrounds[:S_R],
+                "knobs": rows(big.knobs),
+                "gate": jnp.ones((S_R,), bool),
+            }
+            round_r_ms = time_rounds(extra)
+            if round_r_ms <= budget_ms:
+                best = (total + S_R, round_r_ms, S_R)
+        if best is not None:
+            streams_sustained = max(streams_sustained, best[0])
+            multiplex = {
+                "groups": f"{M}x{S_G}" + (f"+{best[2]}" if best[2] else ""),
+                "round_ms_p50": round(best[1], 2),
+                "budget_ms": round(budget_ms, 2),
+                "headroom_ms": round(budget_ms - best[1], 2),
+                "extrapolation": "none (full schedule executed)",
+            }
+        else:
+            # slow-chip fallback: capped extrapolation from the measured
+            # single-group S=96 step (round > budget means per-round
+            # timing is the honest per-step time x M)
+            streams_sustained = max(
+                streams_sustained, S_G * min(budget_ms / (round_ms / M), 4.0)
+            )
+            multiplex = {
+                "groups": f"{M}x{S_G}",
+                "round_ms_p50": round(round_ms, 2),
+                "budget_ms": round(budget_ms, 2),
+                "sustained": False,
+            }
 
     # ---- latency serving mode: one 16-stream group step (groups=4) ----
     # Same jitted step at S/4: the per-frame compute latency of
@@ -224,8 +284,7 @@ def main() -> None:
             "batch_streams": S,
             "step_ms_p50": round(p50, 2),
             "step_ms_min": round(samples[0], 2),
-            "capacity_batch_streams": S_BIG if p50_big is not None else S,
-            "capacity_step_ms_p50": round(p50_big, 2) if p50_big is not None else round(p50, 2),
+            "multiplexed_capacity": multiplex,
             "per_frame_latency_ms_p50_group_mode": round(gp50, 2),
             "latency_target_ms": 8.0,
             "sync_rtt_ms": round(rtt_ms, 2),

@@ -94,6 +94,44 @@ def test_group_scheduling_latency_mode(rng):
     np.testing.assert_array_equal(got, np.asarray(out_f["frame"]))
 
 
+def test_heterogeneous_group_sizes(rng):
+    """group_sizes=[2,1,1]: unequal round-robin groups (the capacity-
+    packing schedule, e.g. 4x96+16 on v5e) must step every stream exactly
+    once per round and match full-batch processing stream-for-stream."""
+    from video_stream_segmenetation_tpu import runtime
+    from video_stream_segmenetation_tpu.runtime.scheduler import StreamScheduler
+    from video_stream_segmenetation_tpu.service.engine import Engine
+
+    statics = runtime.PipelineStatics(
+        frame_hw=(80, 160), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", face_path=False, use_fused_refine=False,
+    )
+    frames = (rng.random((4, 80, 160, 3)) * 255).astype(np.uint8)
+
+    eng_g = Engine(num_streams=4, statics=statics, rng_seed=0, donate_state=False)
+    sch = StreamScheduler(eng_g, use_native_pool=False, group_sizes=[2, 1, 1])
+    assert sch.groups == 3 and sch.group_offsets == [0, 2, 3, 4]
+    for _ in range(4):
+        sch.admit()
+    sch._frames[:] = frames
+    outs = [sch.step() for _ in range(3)]
+    assert [o["slots"] for o in outs] == [(0, 2), (2, 3), (3, 4)]
+    idx = np.asarray(eng_g.state.frame_idx)
+    assert (idx == np.arange(4) % 6 + 1).all()
+
+    eng_f = Engine(num_streams=4, statics=statics, rng_seed=0, donate_state=False)
+    for _ in range(4):
+        eng_f.admit()
+    out_f = eng_f.process(frames)
+    got = np.concatenate([np.asarray(o["frame"]) for o in outs])
+    np.testing.assert_array_equal(got, np.asarray(out_f["frame"]))
+
+    with pytest.raises(ValueError):
+        StreamScheduler(eng_g, use_native_pool=False, group_sizes=[2, 1])
+    with pytest.raises(ValueError):
+        StreamScheduler(eng_g, use_native_pool=False, group_sizes=[5, -1])
+
+
 def test_pipelined_matches_sequential(rng):
     """Double-buffered serving (dispatch N+1 before collecting N) must
     produce byte-identical per-tick results to the synchronous path --

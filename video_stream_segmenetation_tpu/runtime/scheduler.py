@@ -37,16 +37,41 @@ class StreamScheduler:
         use_native_pool: bool = True,
         tick_hz: float = 30.0,
         groups: int = 1,
+        group_sizes: "list[int] | None" = None,
     ):
         """groups > 1 = latency mode: each tick serves ONE group of
         S/groups streams round-robin at ``groups * tick_hz`` ticks/s, so
         per-frame compute latency is a small-batch step (5.4 ms at S/G=16
         on v5e vs 21.4 ms full-batch; benchmarks/RESULTS.md) while
-        throughput stays at S streams."""
+        throughput stays at S streams.
+
+        ``group_sizes`` = heterogeneous rotation: explicit per-group
+        stream counts (must sum to num_streams; overrides ``groups``).
+        Unequal groups pack a chip to capacity when the per-stream sweet
+        spot doesn't divide the budget evenly -- on v5e the measured
+        optimum is 4x96 + 1x16 = 400 streams per 33.33 ms frame interval
+        (benchmarks/RESULTS.md batch sweep: 96 is the per-stream-cost
+        knee, and one 16-stream step fits the leftover ~2 ms)."""
         self.engine = engine
+        if group_sizes is not None:
+            if any(g <= 0 for g in group_sizes):
+                raise ValueError("group_sizes must be positive")
+            if sum(group_sizes) != engine.num_streams:
+                raise ValueError(
+                    f"group_sizes sum {sum(group_sizes)} != num_streams "
+                    f"{engine.num_streams}"
+                )
+            groups = len(group_sizes)
+            offs = [0]
+            for g in group_sizes:
+                offs.append(offs[-1] + g)
+        else:
+            if engine.num_streams % groups:
+                raise ValueError("groups must divide num_streams")
+            gs = engine.num_streams // groups
+            offs = [i * gs for i in range(groups + 1)]
         self.groups = groups
-        if engine.num_streams % groups:
-            raise ValueError("groups must divide num_streams")
+        self.group_offsets = offs
         self.tick_s = 1.0 / (tick_hz * groups)
         fh, fw = engine.statics.frame_hw
         self.pool = None
@@ -119,17 +144,17 @@ class StreamScheduler:
         """
         if self.groups > 1:
             g = self.ticks % self.groups
-            gs = self.engine.num_streams // self.groups
+            i0, i1 = self.group_offsets[g], self.group_offsets[g + 1]
             if self.pool is not None:
                 # ranged assemble: pack only this group's rows (the full-
                 # batch assemble at groups x the tick rate would re-copy
                 # (groups-1)/groups of the frames just to discard them)
-                gbatch, ids = self.pool.assemble_range(g * gs, (g + 1) * gs)
+                gbatch, ids = self.pool.assemble_range(i0, i1)
                 if self.pool.num_lanes:
                     gbatch = (gbatch, self.pool.lanes())
             else:
-                gbatch, ids = self._frames[g * gs:(g + 1) * gs], None
-            out = self.engine.process_group(g, self.groups, gbatch)
+                gbatch, ids = self._frames[i0:i1], None
+            out = self.engine.process_range(i0, i1, gbatch)
         else:
             if self.pool is not None:
                 batch, ids = self.pool.assemble()

@@ -501,7 +501,18 @@ class Engine:
         if self.num_streams % num_groups:
             raise ValueError("num_groups must divide num_streams")
         gs = self.num_streams // num_groups
-        i0, i1 = group * gs, (group + 1) * gs
+        return self.process_range(group * gs, (group + 1) * gs, frames)
+
+    def process_range(self, i0: int, i1: int, frames: np.ndarray) -> dict:
+        """Step an arbitrary stream-row range ``[i0, i1)``, leaving other
+        rows' state untouched -- the general form of :meth:`process_group`
+        used by heterogeneous group schedules (StreamScheduler
+        ``group_sizes``, e.g. 4x96+16 = 400 streams packing a v5e's 33 ms
+        frame budget; benchmarks/RESULTS.md).  The jitted step is shape-
+        polymorphic over the row count, so each distinct group size
+        compiles once.
+        """
+        gs = i1 - i0
         t0 = time.perf_counter()
         self._apply_staged()
         now = time.monotonic()
