@@ -186,6 +186,11 @@ class PipelineStatics:
     # matting_input='native' with the plan-B stem, s2d_block >= 8).
     # The reference's own flagship ships quantized (model_q4f16.onnx).
     matting_precision: str = "bf16"
+    # face-subpath serving precision: 'bf16' (flax FaceFinder/LandmarkNet
+    # forwards) or 'int8' (models/quantized_face.py: the same BN-fold +
+    # per-channel int8 + relu6-lattice scheme as the trunk, on the MXU s8
+    # path; detection boxes/landmarks parity-pinned vs the float models)
+    face_precision: str = "bf16"
     # int8 trunk conv lowering: 'xla' (lax.conv s8 path) or 'pallas'
     # (kernels/conv_int8.py fused conv+dequant+relu6+requant -- int8
     # in/out, no f32 epilogue materialized between layers)

@@ -47,6 +47,12 @@ class Engine:
         self._raw_matte = (bundle.matte_model, bundle.matte_params)
         if self.statics.matting_precision == "int8":
             self._swap_in_quantized()
+        self._raw_face = (
+            bundle.face_model, bundle.face_params,
+            bundle.lmk_model, bundle.lmk_params,
+        )
+        if self.statics.face_precision == "int8":
+            self._swap_in_quantized_face()
         self._donate = (1,) if donate_state else ()
         self._step = jax.jit(
             runtime.make_step(bundle, self.statics), donate_argnums=self._donate
@@ -207,6 +213,22 @@ class Engine:
             head_impl=self.statics.int8_head_impl,
         )
 
+    def _swap_in_quantized_face(self) -> None:
+        """Replace the face-subpath forwards with the int8 serving graphs
+        built from the current float params (models/quantized_face.py)."""
+        from video_stream_segmenetation_tpu.models.quantized_face import (
+            QuantizedFaceFinder,
+            QuantizedLandmarkNet,
+            quantize_face_finder,
+            quantize_landmark_net,
+        )
+
+        fd, fd_p, lm, lm_p = self._raw_face
+        self.bundle.face_params = quantize_face_finder(fd, fd_p)
+        self.bundle.face_model = QuantizedFaceFinder(input_size=fd.input_size)
+        self.bundle.lmk_params = quantize_landmark_net(lm, lm_p)
+        self.bundle.lmk_model = QuantizedLandmarkNet()
+
     def load_face_params(self, face_path: str, lmk_path: str | None = None) -> None:
         """Load FaceFinder / LandmarkNet weights (tools/train_face.py
         checkpoints) -- the counterpart of the reference's pretrained
@@ -216,6 +238,14 @@ class Engine:
         self.bundle.face_params = restore_params(face_path)
         if lmk_path is not None:
             self.bundle.lmk_params = restore_params(lmk_path)
+        self._raw_face = (
+            self._raw_face[0], self.bundle.face_params,
+            self._raw_face[2],
+            restore_params(lmk_path) if lmk_path is not None
+            else self._raw_face[3],
+        )
+        if self.statics.face_precision == "int8":
+            self._swap_in_quantized_face()
 
     def use_reference_face_models(self) -> None:
         """Swap in the reference's REAL shipped face weights (the
