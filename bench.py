@@ -212,7 +212,7 @@ def main() -> None:
             headroom = budget_ms - round_ms
             est = lambda sr: p50 * (sr + 8) / 72.0
             tried = 0
-            for S_R in (48, 32, 16, 8):
+            for S_R in (48, 32, 24, 16, 8):
                 if est(S_R) > headroom + 0.4 or tried >= 2:
                     continue
                 tried += 1
