@@ -195,3 +195,44 @@ def test_matting_op_jax_matches_numpy(op, attrs, extra, rng):
         np.testing.assert_allclose(
             np.asarray(got[o]), want[o], rtol=2e-5, atol=2e-5
         )
+
+
+def test_engine_reference_face_swap_lifecycle():
+    """use_reference_face_models keeps the bundle/_raw_face consistent:
+    the swap validates fd/lmk sizes, serves without degradation, and a
+    later load_face_params reinstalls the fast model classes (round-2
+    ADVICE engine.py:250)."""
+    from video_stream_segmenetation_tpu import models
+    from video_stream_segmenetation_tpu.runtime.config import PipelineStatics
+    from video_stream_segmenetation_tpu.service.engine import Engine
+
+    frame = np.random.default_rng(0).integers(
+        0, 255, (1, 144, 256, 3)
+    ).astype(np.uint8)
+
+    # mismatched sizes must raise, leaving the engine serving
+    bad = Engine(1, statics=PipelineStatics(
+        frame_hw=(144, 256), mask_hw=(72, 128), fd_size=64, lmk_size=48))
+    bad.admit()
+    with pytest.raises(ValueError, match="fd_size=256"):
+        bad.use_reference_face_models()
+    bad.process(frame)
+    assert bad.health.state.name == "OK"
+
+    eng = Engine(1, statics=PipelineStatics(
+        frame_hw=(144, 256), mask_hw=(72, 128), fd_size=256, lmk_size=192))
+    eng.admit()
+    eng.use_reference_face_models()
+    assert type(eng._raw_face[0]).__name__ == "ReferenceFaceFinder"
+    eng.process(frame)
+    assert eng.health.state.name == "OK"
+
+    # restoring fast checkpoints over the swap reinstalls fast classes
+    fd_ck = os.path.join(os.path.dirname(CKPT), "facefinder")
+    if not os.path.isdir(fd_ck):
+        pytest.skip("fast face checkpoint missing")
+    eng.load_face_params(fd_ck)
+    assert isinstance(eng.bundle.face_model, models.FaceFinder)
+    assert isinstance(eng._raw_face[0], models.FaceFinder)
+    eng.process(frame)
+    assert eng.health.state.name == "OK"

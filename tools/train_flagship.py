@@ -85,7 +85,12 @@ def main(steps: int = 600, only: set[str] | None = None):
         print(f"[{name}] saved to {path}", flush=True)
         quality[name] = {
             "pretrain_hw": list(hw), "serve_hw": list(serve_hw),
-            "final_iou_serving_res": history[-1]["iou"],
+            # MODEL-ONLY IoU (raw trunk alpha vs gt at end of training).
+            # NOT comparable to the pipeline headline (0.9866): serving
+            # quality lives in the guided refine stage, which recovers
+            # narrow trunks -- see benchmarks/RESULTS.md knee study and
+            # tools/eval_variants.py for held-out *pipeline* IoU.
+            "model_only_iou_serving_res": history[-1]["iou"],
             "steps": steps,
         }
 

@@ -219,7 +219,9 @@ class PipelineStatics:
     # relayout-copies BOTH packed u8 operands (337.5 MB each at S=128 --
     # the S=128 per-stream degradation, HLO census 2026-08-19); chunking
     # keeps every blend dot at the copy-free S<=64 shape.  'auto' = 64 on
-    # TPU, off elsewhere; None/0 disables; an int forces that chunk.
+    # TPU when S > 96 (the measured cliff; pipeline.py only engages
+    # chunking past it, so auto is a no-op for 64 < S <= 96), off
+    # otherwise; None/0 disables; an int forces that chunk.
     s2d_composite_s_chunk: Any = "auto"
     # MatteNetHD decoder plan ('full' = plan B; 'light' = plan C lite
     # trunk, ~43% fewer FLOPs with edge detail delegated to the guided

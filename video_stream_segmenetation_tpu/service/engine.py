@@ -234,13 +234,31 @@ class Engine:
         checkpoints) -- the counterpart of the reference's pretrained
         MediaPipe face ONNX files (SURVEY.md §2.7)."""
         from video_stream_segmenetation_tpu.utils.checkpoint import restore_params
+        from video_stream_segmenetation_tpu import models
 
+        fd_model, lm_model = self._raw_face[0], self._raw_face[2]
+        if not isinstance(fd_model, models.FaceFinder):
+            # a prior use_reference_face_models() swap left ONNX-graph
+            # models in place; these checkpoints are fast-model params,
+            # so reinstall the fast model classes alongside them.  The
+            # landmark pair is only swapped when its params come too --
+            # otherwise the reference lmk model+params stay consistent.
+            fd_model = models.FaceFinder(input_size=self.statics.fd_size)
+            self.bundle.face_model = fd_model
+            if lmk_path is not None:
+                lm_model = models.LandmarkNet()
+                self.bundle.lmk_model = lm_model
+            # the jitted step traced the reference graphs; rebuild it
+            self._step = jax.jit(
+                runtime.make_step(self.bundle, self.statics),
+                donate_argnums=self._donate,
+            )
         self.bundle.face_params = restore_params(face_path)
         if lmk_path is not None:
             self.bundle.lmk_params = restore_params(lmk_path)
         self._raw_face = (
-            self._raw_face[0], self.bundle.face_params,
-            self._raw_face[2],
+            fd_model, self.bundle.face_params,
+            lm_model,
             restore_params(lmk_path) if lmk_path is not None
             else self._raw_face[3],
         )
@@ -260,10 +278,32 @@ class Engine:
 
         fd = ReferenceFaceFinder()
         lm = ReferenceLandmarkNet()
+        if (
+            self.statics.fd_size != fd.input_size
+            or self.statics.lmk_size != lm.input_size
+        ):
+            raise ValueError(
+                f"reference face graphs need fd_size={fd.input_size} / "
+                f"lmk_size={lm.input_size} (statics has "
+                f"{self.statics.fd_size}/{self.statics.lmk_size}); build "
+                f"the Engine with matching statics before swapping"
+            )
         self.bundle.face_model = fd
         self.bundle.face_params = jax.device_put(fd.init_params())
         self.bundle.lmk_model = lm
         self.bundle.lmk_params = jax.device_put(lm.init_params())
+        # keep _raw_face consistent: a later load_face_params must not
+        # re-quantize stale fast-model params over this swap
+        self._raw_face = (
+            fd, self.bundle.face_params, lm, self.bundle.lmk_params
+        )
+        if self.statics.face_precision == "int8":
+            import warnings
+
+            warnings.warn(
+                "face_precision='int8' does not apply to the reference "
+                "ONNX face graphs; serving them in float", stacklevel=2
+            )
         self._step = jax.jit(
             runtime.make_step(self.bundle, self.statics),
             donate_argnums=self._donate,
