@@ -251,3 +251,57 @@ def test_nano_trunk_fused_alpha_head_matches_xla(rng, decoder):
         np.asarray(a_xla.apply(q, x)["alpha"]),
         np.asarray(a_trk.apply(q, x)["alpha"]),
     )
+
+
+def test_nano_trunk_rowfold_matches_quadfold(rng):
+    """The in-VMEM column-fold route (fused_nano_trunk_alpha_rowfold:
+    free row-fold bitcast in, one-hot MXU permutation dots inside the
+    kernel) == the XLA-quad-folded route bit-exactly -- the permutation
+    is an exact s8 selection.  Also pins the QuantizedMatteNetHD
+    trunk_fold='vmem' route end-to-end."""
+    import jax
+
+    from video_stream_segmenetation_tpu import models
+    from video_stream_segmenetation_tpu.kernels.trunk_int8 import (
+        fused_nano_trunk_alpha_q,
+        fused_nano_trunk_alpha_rowfold,
+    )
+    from video_stream_segmenetation_tpu.models import quantized as Q
+
+    fh, fw, ss = 240, 320, 10
+    model = models.MatteNetHD(stem_stride=ss, head_upsample=4, decoder="pico")
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, fh, fw, 3)))
+    q = Q.quantize_mattenet_hd(model, params)
+    x = jnp.asarray(
+        rng.integers(0, 255, (2, fh // ss, fw // ss, ss * ss * 3)).astype(
+            np.uint8
+        )
+    )
+    y = x.astype(jnp.bfloat16) @ q["stem_w"]
+    x0 = Q._requant(y.astype(jnp.float32) + q["stem_b"])
+
+    s, h, w, c0 = x0.shape
+    ref = np.asarray(
+        fused_nano_trunk_alpha_q(
+            x0.reshape(s, h // 4, 4, w // 4, 4 * c0), q, interpret=True
+        )
+    )
+    got = np.asarray(
+        fused_nano_trunk_alpha_rowfold(
+            x0.reshape(s, h // 4, 4, w, c0), q, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+    a_xla = Q.QuantizedMatteNetHD(
+        ss, 4, decoder="pico", decoder_impl="trunk", head_impl="int8",
+        trunk_fold="xla",
+    )
+    a_vm = Q.QuantizedMatteNetHD(
+        ss, 4, decoder="pico", decoder_impl="trunk", head_impl="int8",
+        trunk_fold="vmem",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a_xla.apply(q, x)["alpha"]),
+        np.asarray(a_vm.apply(q, x)["alpha"]),
+    )

@@ -86,7 +86,7 @@ def _kernel(x0_ref, wd2dn_ref, md2dn_ref, wd2b_ref, md2b_ref,
             wd3dn_ref, md3dn_ref, wd3b_ref, md3b_ref, wctx_ref, mctx_ref,
             se0k_ref, se0b_ref, se1k_ref, se1b_ref,
             u2w_ref, mu2_ref, u1w_ref, mu1_ref,
-            *refs, bh, bw, c0, c2, c3, head):
+            *refs, bh, bw, c0, c2, c3, head, fold):
     """One stream.  Shapes (nano plan, 720p/block-10: bh=18, bw=32,
     c0=128, c2=192, c3=256):
 
@@ -108,11 +108,40 @@ def _kernel(x0_ref, wd2dn_ref, md2dn_ref, wd2b_ref, md2b_ref,
     (column qo carries walpha[ty-qy+1, tx-qx+1] or 0) -- exact s32, no
     column shuffling.  ma_ref [2, 16] f32 = (mult, bias) rows of the
     alpha head; out_ref [1, bh, bw, 16] f32 quad-folded logits.
+
+    fold=True: the quad-parity fold happens IN VMEM instead of in XLA.
+    x0_ref is the ROW-folded stem output [1, bh, 4, wp, c0] s8 (a free
+    XLA bitcast of [hp, wp, c0]: only outer dims split, the minormost
+    (wp, c0) tile is untouched -- so the pallas boundary is zero-copy),
+    refs is prefixed with (perm_ref [wp, wp] s8 one-hot,) and suffixed
+    with a scratch ref xp [bh, 4, wp, c0] s8.  The COLUMN parity fold
+    (w%4 into lanes -- the 128->512 lane retiling XLA cannot bitcast
+    and pays ~108 MB of HBM copy for at S=96) is done here as 4*bh
+    one-hot MXU dots perm @ x0[i, qy] (exact s8 selection, ~0.04 ms at
+    S=96): xp[i, qy, qx*bw + j] = x0[i, qy, 4j + qx], after which
+    xplane(qy, qx) is an aligned sublane slice of xp.
     """
     m = bh * bw  # rows per parity plane
 
-    def xplane(qy, qx):
-        return x0_ref[0, :, qy, :, qx * c0 : (qx + 1) * c0]  # [bh, bw, c0]
+    if fold:
+        perm_ref = refs[0]
+        xp_ref = refs[-1]
+        refs = refs[1:-1]
+        perm = perm_ref[...]
+        for i in range(bh):
+            for qy in range(4):
+                xp_ref[i, qy] = _dot_i8(perm, x0_ref[0, i, qy]).astype(
+                    jnp.int8
+                )
+
+        def xplane(qy, qx):
+            return xp_ref[:, qy, qx * bw : (qx + 1) * bw, :]  # [bh, bw, c0]
+
+    else:
+
+        def xplane(qy, qx):
+            # [bh, bw, c0]
+            return x0_ref[0, :, qy, :, qx * c0 : (qx + 1) * c0]
 
     # ---- d2dn: stride-2 3x3 over the 72-grid -> 36x64 parity planes.
     # SAME/stride-2 pads (0, 1): out[y] = sum_r in[2y + r], r in 0..2.
@@ -229,14 +258,21 @@ def _kernel(x0_ref, wd2dn_ref, md2dn_ref, wd2b_ref, md2b_ref,
     out_ref[0] = logits.reshape(bh, bw, n)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "head"))
-def _run(x0q, *consts, interpret, head):
-    s, bh, _, bw, l = x0q.shape
-    c0 = l // 4
+@functools.partial(jax.jit, static_argnames=("interpret", "head", "fold"))
+def _run(x0q, *consts, interpret, head, fold=False):
+    if fold:
+        # x0q is ROW-folded [s, bh, 4, wp, c0]; column fold runs in VMEM
+        s, bh, _, wp, c0 = x0q.shape
+        bw = wp // 4
+        l = c0
+    else:
+        s, bh, _, bw, l = x0q.shape
+        c0 = l // 4
+        wp = bw
     c2 = consts[0].shape[-1]
     c3 = consts[4].shape[-1]
     kern = functools.partial(
-        _kernel, bh=bh, bw=bw, c0=c0, c2=c2, c3=c3, head=head
+        _kernel, bh=bh, bw=bw, c0=c0, c2=c2, c3=c3, head=head, fold=fold
     )
 
     def whole(x):
@@ -263,12 +299,15 @@ def _run(x0q, *consts, interpret, head):
         grid=(s,),
         in_specs=[
             pl.BlockSpec(
-                (1, bh, 4, bw, l), lambda i: (i, 0, 0, 0, 0),
+                (1, bh, 4, wp, l), lambda i: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ] + [whole(c) for c in consts],
         out_specs=out_spec,
         out_shape=out_shape,
+        scratch_shapes=(
+            [pltpu.VMEM((bh, 4, wp, c0), jnp.int8)] if fold else []
+        ),
         interpret=interpret,
     )(x0q, *consts)
 
@@ -381,3 +420,48 @@ def fused_nano_trunk_alpha(x0, q, interpret=None):
     s, h, w, c0 = x0.shape
     x0q = x0.reshape(s, h // 4, 4, w // 4, 4 * c0)
     return fused_nano_trunk_alpha_q(x0q, q, interpret=interpret)
+
+
+@functools.lru_cache(maxsize=4)
+def _col_fold_perm(wp: int):
+    """One-hot [wp, wp] s8 permutation for the in-VMEM column parity
+    fold: row d = qx*bw + j selects source column 4*j + qx (bw = wp//4),
+    so perm @ x[wp, c0] regroups w%4 into contiguous bw-blocks."""
+    import numpy as np
+
+    bw = wp // 4
+    perm = np.zeros((wp, wp), np.int8)
+    d = np.arange(wp)
+    perm[d, 4 * (d % bw) + d // bw] = 1
+    return jnp.asarray(perm)
+
+
+def fused_nano_trunk_alpha_rowfold(x0r, q, interpret=None):
+    """As :func:`fused_nano_trunk_alpha_q`, but taking the stem output
+    only ROW-folded (x0r [S, H/4, 4, W, C0] s8 -- a FREE bitcast of
+    [S, H, W, C0]: only outer dims split, the minormost (W, C0) tile is
+    untouched).  The column parity fold -- the 128->512 lane retiling
+    XLA cannot bitcast and pays a ~108 MB HBM copy for at S=96 when the
+    stem requant sits in a kOutput dot fusion (commit ec901c6 probe) --
+    happens INSIDE the kernel as one-hot MXU dots over a [W, W] s8
+    permutation (exact s8 selection)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, bh, _, wp, c0 = x0r.shape
+    bw = wp // 4
+    h, w = bh * 4, wp
+    va, ma = _alpha_head_consts(q, c0)
+    k = q["alpha_q"]["wq"].shape[-1]
+    out = _run(x0r, *_trunk_consts(q), _col_fold_perm(wp), va, ma,
+               interpret=interpret, head=True, fold=True)
+    if k == 1:
+        return (
+            out.reshape(s, bh, bw, 4, 4)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(s, h, w)
+        )
+    return (
+        out.reshape(s, bh, bw, 4, 4, k)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(s, h, w, k)
+    )

@@ -259,7 +259,8 @@ class QuantizedMatteNetHD:
     def __init__(self, stem_stride: int, head_upsample: int,
                  num_classes: int = 1, decoder: str = "full",
                  conv_impl: str = "xla", decoder_impl: str = "auto",
-                 stem_impl: str = "bf16", head_impl: str = "int8"):
+                 stem_impl: str = "bf16", head_impl: str = "int8",
+                 trunk_fold: str = "xla"):
         self.stem_stride = stem_stride
         self.head_upsample = head_upsample
         self.num_classes = num_classes
@@ -282,6 +283,15 @@ class QuantizedMatteNetHD:
         # u1 activation directly (per-output-channel s8 head weights, f32
         # logits out) -- the 144 MB bf16 dequant of u1 never materializes
         self.head_impl = head_impl
+        # 'xla' | 'vmem': where the megakernel's quad-parity input fold
+        # happens.  'xla' reshapes x0 [S,H,W,C0] -> [S,H/4,4,W/4,4C0] in
+        # XLA (a 128->512 lane retiling XLA cannot bitcast: ~108 MB HBM
+        # copy at S=96 because the stem requant is the dot's kOutput
+        # fusion, which can't absorb a retiling reshape -- commit
+        # ec901c6 probe).  'vmem' hands the kernel the FREE row-folded
+        # bitcast [S,H/4,4,W,C0] and folds columns in VMEM via one-hot
+        # MXU dots (kernels/trunk_int8.py::fused_nano_trunk_alpha_rowfold)
+        self.trunk_fold = trunk_fold
 
     # the pipeline may ride extra one-hot gather columns on the stem
     # matmul (``stem_aux_cols``) -- see guide_s2d_sel in ops/layout.py
@@ -425,6 +435,7 @@ class QuantizedMatteNetHD:
             from video_stream_segmenetation_tpu.kernels.trunk_int8 import (
                 fused_nano_trunk,
                 fused_nano_trunk_alpha_q,
+                fused_nano_trunk_alpha_rowfold,
             )
 
             if self.head_impl == "int8" and "alpha_q" in q:
@@ -435,10 +446,16 @@ class QuantizedMatteNetHD:
                 # emits x0 pre-folded regressed 6.3 -> 7.6 ms at S=64 --
                 # XLA relayouts the 6D view of its conv-layout parameter,
                 # which costs MORE than the 72 MB x0 fold copy it saves.)
-                sb, hp, wp, _ = x.shape
+                sb = x0.shape[0]
+                hp, wp = x0.shape[1], x0.shape[2]
                 c0 = x0.shape[-1]
-                x0q = x0.reshape(sb, hp // 4, 4, wp // 4, 4 * c0)
-                alpha_logit = fused_nano_trunk_alpha_q(x0q, q)
+                if self.trunk_fold == "vmem":
+                    # free bitcast: only outer dims split
+                    x0r = x0.reshape(sb, hp // 4, 4, wp, c0)
+                    alpha_logit = fused_nano_trunk_alpha_rowfold(x0r, q)
+                else:
+                    x0q = x0.reshape(sb, hp // 4, 4, wp // 4, 4 * c0)
+                    alpha_logit = fused_nano_trunk_alpha_q(x0q, q)
                 if self.num_classes == 1:
                     alpha_logit = alpha_logit[..., None]
                 u1 = split_conv_up(

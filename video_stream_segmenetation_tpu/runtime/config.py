@@ -208,6 +208,12 @@ class PipelineStatics:
     # f32 logits; the bf16 u1 dequant never materializes -- 144 MB at
     # S=64) or 'bf16' (dequant + bf16 conv)
     int8_head_impl: str = "int8"
+    # where the trunk megakernel's quad-parity input fold happens:
+    # 'xla' (x0 reshape in XLA -- pays a ~108 MB lane-retiling HBM copy
+    # at S=96 since the stem requant's kOutput dot fusion can't absorb
+    # it) or 'vmem' (free row-fold bitcast in, column fold as one-hot
+    # MXU dots inside the kernel -- kernels/trunk_int8.py)
+    int8_trunk_fold: str = "xla"
     # packed-composite lowering (ops/layout.py::alpha_composite_s2d):
     # 'per_dy' (b per-dy matmuls; XLA pays ~700 MB/step of f32 relayout
     # copies re-packing each [S,hp,fw] output into (wp,b,c) lanes) or

@@ -96,6 +96,10 @@ _PRESETS = {
     # reads it as bf16 anyway; EMA state stays f32) -- the only phase-2
     # boundary cut that won on the chip (2026-08-19 ablation; lowres
     # alpha src neutral, guide-lane unfold negative -- both stay opt-in).
+    # int8_trunk_fold='vmem': megakernel takes the FREE row-folded
+    # bitcast and column-folds in VMEM via one-hot MXU dots -- kills the
+    # ~108 MB XLA lane-retiling copy (7.81 -> 7.62 ms at S=96,
+    # in-context ablation 2026-08-19).
     "fast_int8_pico": dict(
         matting_input="native",
         guide_impl="nearest_u8",
@@ -109,6 +113,7 @@ _PRESETS = {
         crop_impl="mxu",
         resize_impl="mxu",
         refined_dtype="bf16",
+        int8_trunk_fold="vmem",
     ),
     # plan-G femto trunk (matting_decoder='femto'): every trunk level at
     # exactly one 128-lane group -- the knee-hunt point below pico
