@@ -132,25 +132,35 @@ def main() -> None:
     # how many 720p30 streams this chip sustains at this step latency
     streams_sustained = S * min(budget_ms / p50, 4.0)  # cap the extrapolation
 
-    # ---- capacity: time-multiplexed round-robin, DIRECTLY measured ----
+    # ---- capacity: the PRODUCTION rotation, executed end to end -------
     # When the S=64 extrapolation saturates its honesty cap (4x), the
     # capacity claim comes from an actually-executed serving schedule
-    # instead of any extrapolation: M disjoint 96-stream groups (plus a
-    # headroom-sized remainder group) stepped round-robin through the
-    # compiled step -- exactly StreamScheduler's group rotation.  If one
-    # full round fits the 33.33 ms frame budget, every admitted stream
-    # got a frame at 30 fps: the total IS the sustained count.  S=96 per
-    # group is the measured per-stream sweet spot (0.0817 ms/stream,
-    # benchmarks/RESULTS.md batch sweep: fixed per-step costs amortize up
-    # to 96; XLA flips the packed-frames entry layout at S>=97 and
-    # per-stream cost jumps ~19%), so 4x96 fills the budget best; the
-    # remainder group packs the leftover ~2 ms.
+    # driven through the PRODUCTION path: one Engine owning all streams,
+    # StreamScheduler(group_sizes=...).step_pipelined() ->
+    # Engine.dispatch_range/collect_range -- per-tick staged-knob
+    # snapshot, face gating, recovery-snapshot cadence, counters, and
+    # the in-jit group slice/scatter over the donated full state all
+    # included.  If one full round (every group stepped once) fits the
+    # 33.33 ms frame budget, every admitted stream got a frame at
+    # 30 fps: the total IS the sustained count.  S=96 per group is the
+    # measured per-stream sweet spot (benchmarks/RESULTS.md batch
+    # sweep; XLA flips the packed-frames entry layout at S>=97), so
+    # 4x96 fills the budget best and a remainder group packs the
+    # leftover budget.
+    #
+    # Frames are device-resident via the scheduler's frame_source hook:
+    # the deployment shape for on-device decode, and the only honest
+    # option here -- the tunnel's ~1 MB/s host->device path would
+    # otherwise measure the tunnel, not the chip.  Host-side staging
+    # cost is the native framebuf's (C++ pack, benched in
+    # tests/test_native.py), not device round time.
     multiplex = None
     if budget_ms / p50 > 4.0:
+        from video_stream_segmenetation_tpu.runtime.scheduler import (
+            StreamScheduler,
+        )
+
         S_G, M = 96, 4
-        big = Engine(num_streams=S_G, statics=statics, donate_state=False)
-        for _ in range(S_G):
-            big.admit()
 
         def group_inputs(sg):
             fr = jax.jit(
@@ -162,52 +172,52 @@ def main() -> None:
             )(key)
             return with_lanes(fr)
 
-        bframes = group_inputs(S_G)
-        bgate = jnp.ones((S_G,), bool)
-        copy_tree = lambda t: jax.tree_util.tree_map(lambda x: x + 0, t)
-        bstates = [copy_tree(big.state) for _ in range(M)]
+        # sync-by-dependency: frame_idx chains through every dispatched
+        # step, so one tiny readback waits for the whole schedule
+        idx_reducer = jax.jit(lambda i: jnp.sum(i))
 
-        def measure_round(nrounds, states, extra=None):
-            # chained rounds; one scalar sync at the end (tunnel rules)
-            out = None
-            for _ in range(nrounds):
-                for g in range(M):
-                    states[g], out = big._step(
-                        big.bundle.params, states[g], bframes,
-                        big.backgrounds, big.knobs, bgate,
-                    )
-                if extra is not None:
-                    extra["state"], out = big._step(
-                        big.bundle.params, extra["state"], extra["frames"],
-                        extra["bgs"], extra["knobs"], extra["gate"],
-                    )
-            return states, out
+        def time_schedule(group_sizes, gframes):
+            """Round-time p50 of the executed schedule through
+            StreamScheduler/Engine (chained ticks, one scalar sync)."""
+            eng = Engine(
+                num_streams=sum(group_sizes), statics=statics,
+                donate_state=True,
+            )
+            sch = StreamScheduler(
+                eng, use_native_pool=False, tick_hz=TARGET_FPS,
+                group_sizes=group_sizes,
+                frame_source=lambda i0, i1: gframes[i1 - i0],
+            )
+            sch.admit_all()
 
-        def time_rounds(extra=None):
-            states = [copy_tree(big.state) for _ in range(M)]
-            states, out = measure_round(2, states, extra)  # warmup/compile
-            _ = np.asarray(reducer(out["frame"]))
+            def run_rounds(nr):
+                for _ in range(nr * sch.groups):
+                    sch.step_pipelined()
+
+            run_rounds(2)  # warmup / compile (both group sizes)
+            _ = np.asarray(idx_reducer(eng.state.frame_idx))
             rsamples = []
             nr = 12
             for _ in range(reps):
                 t0 = time.perf_counter()
-                states, out = measure_round(nr, states, extra)
-                _ = np.asarray(reducer(out["frame"]))
+                run_rounds(nr)
+                _ = np.asarray(idx_reducer(eng.state.frame_idx))
                 total_ms = (time.perf_counter() - t0) * 1e3
                 rsamples.append(max(total_ms - rtt_ms, 0.0) / nr)
+            sch.drain()
             rsamples.sort()
             return rsamples[len(rsamples) // 2]
 
-        round_ms = time_rounds()
+        gframes = {S_G: group_inputs(S_G)}
+        round_ms = time_schedule([S_G] * M, gframes)
         total = M * S_G
         best = (total, round_ms, 0) if round_ms <= budget_ms else None
         # pack the leftover budget with a remainder group, sized to the
-        # measured headroom (chip/tunnel day-to-day variance is ~5%, so a
-        # fixed size would miss on slow days and undersell on fast ones).
-        # Step-cost estimate for a candidate size interpolates the
-        # measured S=64 step (fixed dispatch cost ~= p50/9, slope from
-        # the batch sweep); each candidate costs a compile + timed round,
-        # so try at most two, largest-first.
+        # measured headroom (chip/tunnel day-to-day variance is ~5%, so
+        # a fixed size would miss on slow days and undersell on fast
+        # ones).  Step-cost estimate for a candidate size interpolates
+        # the measured S=64 step; each candidate costs a compile + timed
+        # schedule, so try at most two, largest-first.
         if best is not None:
             headroom = budget_ms - round_ms
             est = lambda sr: p50 * (sr + 8) / 72.0
@@ -216,15 +226,8 @@ def main() -> None:
                 if est(S_R) > headroom + 0.4 or tried >= 2:
                     continue
                 tried += 1
-                rows = lambda t: jax.tree_util.tree_map(lambda x: x[:S_R], t)
-                extra = {
-                    "state": rows(copy_tree(big.state)),
-                    "frames": group_inputs(S_R),
-                    "bgs": big.backgrounds[:S_R],
-                    "knobs": rows(big.knobs),
-                    "gate": jnp.ones((S_R,), bool),
-                }
-                round_r_ms = time_rounds(extra)
+                gframes[S_R] = group_inputs(S_R)
+                round_r_ms = time_schedule([S_G] * M + [S_R], gframes)
                 if round_r_ms <= budget_ms:
                     best = (total + S_R, round_r_ms, S_R)
                     break
@@ -235,12 +238,15 @@ def main() -> None:
                 "round_ms_p50": round(best[1], 2),
                 "budget_ms": round(budget_ms, 2),
                 "headroom_ms": round(budget_ms - best[1], 2),
+                "path": "StreamScheduler.step_pipelined -> "
+                        "Engine.dispatch_range (production rotation; "
+                        "frames device-resident)",
                 "extrapolation": "none (full schedule executed)",
             }
         else:
             # slow-chip fallback: capped extrapolation from the measured
-            # single-group S=96 step (round > budget means per-round
-            # timing is the honest per-step time x M)
+            # scheduler round (round > budget means per-round timing is
+            # the honest per-step time x M)
             streams_sustained = max(
                 streams_sustained, S_G * min(budget_ms / (round_ms / M), 4.0)
             )

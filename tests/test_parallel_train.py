@@ -106,3 +106,59 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(params, frames)
     assert out.shape == (frames.shape[0], 288, 512)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_engine_mesh_serving_matches_single_device(rng):
+    """Engine(mesh=...) -- multi-host serving as literally a config
+    change (parallel/mesh.py): the SAME Engine API serves with every
+    per-stream array sharded over the mesh 'data' axis.  process() and
+    the pipelined dispatch/collect path must match a mesh-less engine,
+    admission/knob staging included."""
+    from video_stream_segmenetation_tpu import runtime
+    from video_stream_segmenetation_tpu.service import Engine
+
+    mesh = parallel.make_mesh()
+    S = 8
+    statics = runtime.PipelineStatics(
+        frame_hw=(64, 128), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", face_path=False,
+    )
+    frames = [
+        (rng.random((S, 64, 128, 3)) * 255).astype(np.uint8)
+        for _ in range(3)
+    ]
+
+    def run(mesh_arg):
+        eng = Engine(num_streams=S, statics=statics, rng_seed=0,
+                     donate_state=False, mesh=mesh_arg)
+        for _ in range(S):
+            eng.admit()
+        eng.set_knobs(3, ema=0.5)  # staged-knob path under sharding
+        outs = [np.asarray(eng.process(f)["frame"]) for f in frames]
+        # pipelined path too
+        tok = eng.dispatch(frames[0])
+        outs.append(np.asarray(eng.collect(tok)["frame"]))
+        return eng, outs
+
+    eng_m, outs_m = run(mesh)
+    eng_1, outs_1 = run(None)
+
+    # the sharded engine really spans the mesh
+    assert len(eng_m.state.prev_alpha.sharding.device_set) == 8
+    assert eng_m.state.prev_alpha.sharding.spec[0] == parallel.DATA_AXIS
+    for a, b in zip(outs_m, outs_1):
+        # separately compiled programs: tolerate 1 ulp -> one u8 step
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
+def test_engine_mesh_requires_divisible_streams():
+    from video_stream_segmenetation_tpu import runtime
+    from video_stream_segmenetation_tpu.service import Engine
+
+    mesh = parallel.make_mesh()
+    statics = runtime.PipelineStatics(
+        frame_hw=(64, 128), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", face_path=False,
+    )
+    with pytest.raises(ValueError):
+        Engine(num_streams=9, statics=statics, mesh=mesh)

@@ -227,3 +227,142 @@ def test_scheduler_host_guide_lanes(rng):
         outs.append(np.asarray(out["alpha"]))
         sch.stop()
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_group_pipelined_matches_sequential(rng):
+    """Group-mode pipelining (dispatch_range keeps one group step in
+    flight; the production rotation) must preserve per-group state and
+    produce the same per-tick results as the synchronous group step()
+    path (VERDICT r2 item 2)."""
+    import jax
+
+    from video_stream_segmenetation_tpu import runtime as rt
+    from video_stream_segmenetation_tpu.service import Engine
+
+    statics = rt.PipelineStatics(
+        frame_hw=(80, 160), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", face_path=False, use_fused_refine=False,
+    )
+    ticks = 6  # 2 full rounds of the [2,1,1] rotation
+    frames = [
+        (rng.random((4, 80, 160, 3)) * 255).astype(np.uint8)
+        for _ in range(ticks)
+    ]
+
+    def run(pipelined):
+        eng = Engine(num_streams=4, statics=statics, rng_seed=0,
+                     donate_state=False)
+        sch = StreamScheduler(eng, use_native_pool=False,
+                              group_sizes=[2, 1, 1])
+        for _ in range(4):
+            sch.admit()
+        outs = []
+        for f in frames:
+            sch._frames[:] = f
+            out = sch.step_pipelined() if pipelined else sch.step()
+            if out is not None:
+                outs.append((out["slots"], np.asarray(out["frame"])))
+        if pipelined:
+            out = sch.drain()
+            outs.append((out["slots"], np.asarray(out["frame"])))
+        return eng, outs
+
+    eng_s, outs_s = run(pipelined=False)
+    eng_p, outs_p = run(pipelined=True)
+
+    assert [s for s, _ in outs_p] == [s for s, _ in outs_s]
+    for (_, a), (_, b) in zip(outs_p, outs_s):
+        np.testing.assert_array_equal(a, b)
+    # per-group state identical after the rotation
+    for a, b in zip(jax.tree_util.tree_leaves(eng_p.state),
+                    jax.tree_util.tree_leaves(eng_s.state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_range_dispatch_failure_recovers_per_stream(rng):
+    """A poisoned group step in donated dispatch mode must NOT
+    cold-restart every stream: recovery restores the last host snapshot,
+    so surviving streams keep their cadence/affine identity (and their
+    EMA when full-state snapshots are on) -- VERDICT r2 item 8."""
+    from video_stream_segmenetation_tpu import runtime as rt
+    from video_stream_segmenetation_tpu.service import Engine
+
+    statics = rt.PipelineStatics(
+        frame_hw=(48, 64), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", face_path=False,
+    )
+    eng = Engine(num_streams=4, statics=statics, donate_state=True)
+    eng.snapshot_every = 1
+    eng.state_snapshot_every = 1  # full snapshots: EMA must survive too
+    for _ in range(4):
+        eng.admit()
+    f = (rng.random((2, 48, 64, 3)) * 255).astype(np.uint8)
+
+    # two clean rounds over both 2-stream groups
+    for _ in range(2):
+        for i0 in (0, 2):
+            eng.collect_range(eng.dispatch_range(i0, i0 + 2, f))
+    idx_before = np.asarray(eng.state.frame_idx).copy()
+    ema_before = np.asarray(eng.state.prev_alpha).copy()
+    assert (idx_before >= 2).all() and (np.abs(ema_before).sum() > 0)
+
+    token = eng.dispatch_range(0, 2, f)
+
+    class Boom:
+        shape = (2, 32, 64)
+
+        def __getattr__(self, k):
+            raise RuntimeError("injected device fault")
+
+    token["out"] = {"frame": Boom(), "alpha": None, "face_applied": None}
+    out = eng.collect_range(token)
+    np.testing.assert_array_equal(np.asarray(out["frame"]), f)
+    assert eng.health.consecutive_failures >= 1
+
+    # surviving streams (rows 2:4) keep their temporal state; the state
+    # is at worst one snapshot interval stale (here: the pre-dispatch
+    # snapshot, which the poisoned step never advanced)
+    idx_after = np.asarray(eng.state.frame_idx)
+    ema_after = np.asarray(eng.state.prev_alpha)
+    np.testing.assert_array_equal(idx_after[2:], idx_before[2:])
+    np.testing.assert_allclose(ema_after[2:], ema_before[2:])
+    # and the engine keeps serving
+    out = eng.collect_range(eng.dispatch_range(0, 2, f))
+    assert out["frame"].shape[0] == 2
+
+
+def test_range_dispatch_cheap_snapshot_recovery(rng):
+    """Default (cheap) snapshots: cadence counters survive a donated
+    failure, EMA cold-restarts with first-frame-copy semantics."""
+    from video_stream_segmenetation_tpu import runtime as rt
+    from video_stream_segmenetation_tpu.service import Engine
+
+    statics = rt.PipelineStatics(
+        frame_hw=(48, 64), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", face_path=False,
+    )
+    eng = Engine(num_streams=4, statics=statics, donate_state=True)
+    eng.snapshot_every = 1  # state_snapshot_every stays 0 (cheap only)
+    for _ in range(4):
+        eng.admit()
+    f = (rng.random((2, 48, 64, 3)) * 255).astype(np.uint8)
+    for _ in range(2):
+        for i0 in (0, 2):
+            eng.collect_range(eng.dispatch_range(i0, i0 + 2, f))
+    idx_before = np.asarray(eng.state.frame_idx).copy()
+
+    token = eng.dispatch_range(0, 2, f)
+
+    class Boom:
+        shape = (2, 32, 64)
+
+        def __getattr__(self, k):
+            raise RuntimeError("injected device fault")
+
+    token["out"] = {"frame": Boom(), "alpha": None, "face_applied": None}
+    eng.collect_range(token)
+    idx_after = np.asarray(eng.state.frame_idx)
+    np.testing.assert_array_equal(idx_after[2:], idx_before[2:])
+    # EMA is cold (re-warms via first-frame copy), not stale garbage
+    assert np.abs(np.asarray(eng.state.prev_alpha)).sum() == 0
+    assert not np.asarray(eng.state.initialized).any()

@@ -13,6 +13,7 @@ from video_stream_segmenetation_tpu.runtime.state import (  # noqa: F401
 )
 from video_stream_segmenetation_tpu.runtime.pipeline import (  # noqa: F401
     ModelBundle,
+    make_range_step,
     make_step,
     segment_once,
 )

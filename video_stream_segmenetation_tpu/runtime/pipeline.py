@@ -951,6 +951,46 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
     return step
 
 
+def make_range_step(bundle: ModelBundle, statics: PipelineStatics):
+    """Group-ranged step over the FULL stream state, built for the
+    multiplexed group rotation (StreamScheduler ``group_sizes``; the
+    production form of the reference's rAF serving loop,
+    client/src/core/main.ts:52-111, at many-stream scale).
+
+    ``range_step(params, full_state, i0, frames, full_backgrounds,
+    full_knobs, face_gate[gs]) -> (new_full_state, outputs)``
+
+    The group's rows ``[i0, i0+gs)`` are sliced out of the full state ON
+    DEVICE (``lax.dynamic_slice``), stepped, and written back with
+    ``lax.dynamic_update_slice`` -- so when the caller jits this with the
+    full state donated, XLA aliases the output buffer onto the input and
+    the group update happens IN PLACE.  The eager host-side alternative
+    (``rows(state)`` + ``state.at[i0:i1].set(g)``, Engine.process_range)
+    rewrites the whole state every tick: ~230 MB of HBM traffic for a
+    400-stream EMA state, which is the difference between the raw-step
+    round and a production round that fits the 33.33 ms budget.
+
+    ``gs`` is static per trace (one compile per distinct group size, like
+    the shape-polymorphic plain step); ``i0`` is a traced scalar, so the
+    rotation's different offsets share one executable.
+    """
+    step = make_step(bundle, statics)
+    import jax as _jax
+
+    def range_step(params, full_state, i0, frames, full_bgs, full_knobs, face_gate):
+        gs = face_gate.shape[0]
+        sl = lambda x: _jax.lax.dynamic_slice_in_dim(x, i0, gs, axis=0)
+        gstate = _jax.tree_util.tree_map(sl, full_state)
+        gknobs = _jax.tree_util.tree_map(sl, full_knobs)
+        gbgs = full_bgs if full_bgs.shape[0] == 1 else sl(full_bgs)
+        new_g, out = step(params, gstate, frames, gbgs, gknobs, face_gate)
+        upd = lambda f, g: _jax.lax.dynamic_update_slice_in_dim(f, g, i0, axis=0)
+        new_full = _jax.tree_util.tree_map(upd, full_state, new_g)
+        return new_full, out
+
+    return range_step
+
+
 def segment_once(bundle: ModelBundle, statics: PipelineStatics):
     """Single-shot `segment(frame) -> mask` (the public surface named in
     BASELINE.json): preprocess + matting forward, no temporal state."""

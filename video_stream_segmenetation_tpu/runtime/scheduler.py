@@ -38,6 +38,7 @@ class StreamScheduler:
         tick_hz: float = 30.0,
         groups: int = 1,
         group_sizes: "list[int] | None" = None,
+        frame_source: "Callable[[int, int], object] | None" = None,
     ):
         """groups > 1 = latency mode: each tick serves ONE group of
         S/groups streams round-robin at ``groups * tick_hz`` ticks/s, so
@@ -51,8 +52,16 @@ class StreamScheduler:
         spot doesn't divide the budget evenly -- on v5e the measured
         optimum is 4x96 + 1x16 = 400 streams per 33.33 ms frame interval
         (benchmarks/RESULTS.md batch sweep: 96 is the per-stream-cost
-        knee, and one 16-stream step fits the leftover ~2 ms)."""
+        knee, and one 16-stream step fits the leftover ~2 ms).
+
+        ``frame_source``: optional ``(i0, i1) -> frames`` callback that
+        replaces the pool/host-array ingest -- for deployments whose
+        frames are already device-resident (on-device decode DMA) and
+        for capacity benches that must not measure host staging.  The
+        returned value is fed to the engine step as-is (natural, packed,
+        or (packed, lanes))."""
         self.engine = engine
+        self.frame_source = frame_source
         if group_sizes is not None:
             if any(g <= 0 for g in group_sizes):
                 raise ValueError("group_sizes must be positive")
@@ -120,6 +129,25 @@ class StreamScheduler:
         )
         return slot
 
+    def admit_all(self) -> "list[int]":
+        """Bulk admission with staggered cadence phases: one vectorized
+        phase write instead of S per-slot updates (Engine.admit_all)."""
+        slots = self.engine.admit_all()
+        if not slots:
+            return slots
+        interval = self.engine.statics.lmk_interval
+        import jax.numpy as jnp
+
+        S = self.engine.num_streams
+        mask = np.zeros((S,), bool)
+        mask[slots] = True
+        phases = (np.arange(S) % interval).astype(np.int32)
+        self.engine.state.frame_idx = jnp.where(
+            jnp.asarray(mask), jnp.asarray(phases),
+            self.engine.state.frame_idx,
+        )
+        return slots
+
     def evict(self, slot: int) -> None:
         self.engine.evict(slot)
 
@@ -136,6 +164,25 @@ class StreamScheduler:
         self.pool.push_i420(slot, y, u, v)
 
     # ---- the tick ------------------------------------------------------
+    def _group_frames(self, i0: int, i1: int, copy: bool = False):
+        """Ingest one group's frames: the ``frame_source`` callback if
+        set (device-resident deployments), else a ranged native-pool
+        assemble, else the host-array fallback.  ``copy=True`` detaches
+        the host-array fallback from future mutation (pipelined mode;
+        the pool's double buffer makes its views safe at depth 1)."""
+        if self.frame_source is not None:
+            return self.frame_source(i0, i1), None
+        if self.pool is not None:
+            # ranged assemble: pack only this group's rows (the full-
+            # batch assemble at groups x the tick rate would re-copy
+            # (groups-1)/groups of the frames just to discard them)
+            gbatch, ids = self.pool.assemble_range(i0, i1)
+            if self.pool.num_lanes:
+                gbatch = (gbatch, self.pool.lanes())
+            return gbatch, ids
+        gb = self._frames[i0:i1]
+        return (gb.copy() if copy else gb), None
+
     def step(self) -> dict:
         """Assemble the freshest frames and run one engine step.
 
@@ -145,16 +192,11 @@ class StreamScheduler:
         if self.groups > 1:
             g = self.ticks % self.groups
             i0, i1 = self.group_offsets[g], self.group_offsets[g + 1]
-            if self.pool is not None:
-                # ranged assemble: pack only this group's rows (the full-
-                # batch assemble at groups x the tick rate would re-copy
-                # (groups-1)/groups of the frames just to discard them)
-                gbatch, ids = self.pool.assemble_range(i0, i1)
-                if self.pool.num_lanes:
-                    gbatch = (gbatch, self.pool.lanes())
-            else:
-                gbatch, ids = self._frames[i0:i1], None
+            gbatch, ids = self._group_frames(i0, i1)
             out = self.engine.process_range(i0, i1, gbatch)
+        elif self.frame_source is not None:
+            batch, ids = self._group_frames(0, self.engine.num_streams)
+            out = self.engine.process(batch)
         else:
             if self.pool is not None:
                 batch, ids = self.pool.assemble()
@@ -172,19 +214,35 @@ class StreamScheduler:
         """Double-buffered tick: dispatch this tick's batch, then collect
         the PREVIOUS tick's results -- host assembly of batch N+1 overlaps
         device compute of batch N (Engine.dispatch/collect).  Returns the
-        previous batch's results (None on the priming tick)."""
-        if self.pool is not None:
-            # the pool's double buffer alternates, so batch N stays valid
-            # while N+1 assembles into the other buffer: safe at depth 1
-            batch, ids = self.pool.assemble()
-            if self.pool.num_lanes:
-                batch = (batch, self.pool.lanes())
+        previous batch's results (None on the priming tick).
+
+        With ``groups > 1`` each tick dispatches ONE group
+        (Engine.dispatch_range) and collects the previous group -- the
+        rotation keeps one group step in flight, so the round period is
+        the sum of device step times, not step + host overhead per
+        group.  Group N's results therefore arrive one tick late, same
+        as the full-batch pipelining."""
+        if self.groups > 1:
+            g = self.ticks % self.groups
+            i0, i1 = self.group_offsets[g], self.group_offsets[g + 1]
+            gbatch, ids = self._group_frames(i0, i1, copy=True)
+            token = self.engine.dispatch_range(i0, i1, gbatch)
         else:
-            # host-array fallback: jnp.asarray may alias numpy memory
-            # (CPU zero-copy); copy so the next tick's mutation cannot
-            # race the in-flight step
-            batch, ids = self._frames.copy(), None
-        token = self.engine.dispatch(batch)
+            if self.frame_source is not None:
+                batch, ids = self._group_frames(0, self.engine.num_streams)
+            elif self.pool is not None:
+                # the pool's double buffer alternates, so batch N stays
+                # valid while N+1 assembles into the other buffer: safe
+                # at depth 1
+                batch, ids = self.pool.assemble()
+                if self.pool.num_lanes:
+                    batch = (batch, self.pool.lanes())
+            else:
+                # host-array fallback: jnp.asarray may alias numpy memory
+                # (CPU zero-copy); copy so the next tick's mutation cannot
+                # race the in-flight step
+                batch, ids = self._frames.copy(), None
+            token = self.engine.dispatch(batch)
         token["ids"] = ids
         prev, self._inflight = self._inflight, token
         self.ticks += 1
@@ -206,22 +264,31 @@ class StreamScheduler:
         return out
 
     def run_forever(self) -> None:
+        """The serving loop: pipelined ticks paced PER ROUND.
+
+        Pacing is per round (one full pass over all groups), not per
+        tick: groups run back-to-back and the loop sleeps only to keep
+        round starts ``1/tick_hz`` apart.  Uniform per-tick slots would
+        cap a heterogeneous rotation below the frame rate -- with
+        4x96+16 the ~8 ms big-group steps overrun a 33.33/5 ms slot
+        while the ~2 ms remainder group still slept out its full slot,
+        making the round period sum(big steps) + slot > budget even
+        though the measured round fits it."""
         self._running = True
-        next_t = time.monotonic()
-        pipelined = self.groups == 1  # group mode is already sub-frame
+        round_s = self.tick_s * self.groups  # = 1 / tick_hz
+        next_round = time.monotonic()
         while self._running:
-            if pipelined:
+            for _ in range(self.groups):
+                if not self._running:
+                    break
                 self.step_pipelined()
-            else:
-                self.step()
-            next_t += self.tick_s
-            delay = next_t - time.monotonic()
+            next_round += round_s
+            delay = next_round - time.monotonic()
             if delay > 0:
                 time.sleep(delay)
             else:
-                next_t = time.monotonic()  # fell behind; don't spiral
-        if pipelined:
-            self.drain()
+                next_round = time.monotonic()  # fell behind; don't spiral
+        self.drain()
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self.run_forever, daemon=True)

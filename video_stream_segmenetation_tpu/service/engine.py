@@ -37,9 +37,30 @@ class Engine:
         bundle: runtime.ModelBundle | None = None,
         rng_seed: int = 0,
         donate_state: bool = True,
+        mesh=None,
     ):
+        """``mesh``: a ``jax.sharding.Mesh`` (parallel.make_mesh) turns
+        this engine multi-device: params replicate, every per-stream
+        array (state, knobs, backgrounds, frames) shards its leading
+        stream axis over the mesh 'data' axis, and the SAME jitted step
+        serves all devices -- streams are independent, so the compiled
+        module has zero hot-loop collectives (parallel/mesh.py).  All
+        serving paths (process / dispatch+collect / ranged) and the
+        admission/knob-staging plumbing work unchanged: eager per-slot
+        updates write through the sharded arrays, and jit propagates
+        operand shardings (SURVEY.md §2.10 / §7 step 8)."""
         self.num_streams = num_streams
         self.statics = statics or PipelineStatics()
+        self.mesh = mesh
+        if mesh is not None:
+            from video_stream_segmenetation_tpu import parallel
+
+            n_data = mesh.shape[parallel.DATA_AXIS]
+            if num_streams % n_data:
+                raise ValueError(
+                    f"num_streams {num_streams} must divide over the "
+                    f"mesh 'data' axis ({n_data} devices)"
+                )
         if bundle is None:
             bundle = self._default_bundle(rng_seed)
         self.bundle = bundle
@@ -54,8 +75,26 @@ class Engine:
         if self.statics.face_precision == "int8":
             self._swap_in_quantized_face()
         self._donate = (1,) if donate_state else ()
-        self._step = jax.jit(
-            runtime.make_step(bundle, self.statics), donate_argnums=self._donate
+        self._build_steps()
+        # per-stream-safe failure recovery (SURVEY.md §5): with donation
+        # the pre-step buffers are gone when an async device failure
+        # surfaces at collect time, so the engine keeps a host-side
+        # snapshot of the CHEAP per-stream state (affine, cadence
+        # counters, face centers -- ~50 B/stream) every
+        # ``snapshot_every`` dispatches, copied host-ward asynchronously
+        # so the serving loop never blocks on it.  On failure the
+        # affected batch restarts from the snapshot: face tracking and
+        # cadence phase survive, only the EMA re-warms (first-frame-copy
+        # semantics).  ``state_snapshot_every`` > 0 additionally
+        # snapshots the FULL state (EMA included, 576 KB/stream) at that
+        # cadence for deployments that can afford the host traffic.
+        self.snapshot_every = 8
+        self.state_snapshot_every = 0
+        self._dispatches = 0
+        self._snap: dict | None = None
+        self._snap_pending: dict | None = None
+        self._snap_copy = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t)
         )
 
         mh, mw = self.statics.mask_hw
@@ -117,6 +156,8 @@ class Engine:
                 lambda f: _ops.guide_lanes_s2d(f, fhw, mhw, blk)[0]
             )
 
+        if mesh is not None:
+            self._place_on_mesh()
         self.active = np.zeros((num_streams,), bool)
         self.counters = Counters()
         self.health = HealthMonitor()
@@ -128,6 +169,46 @@ class Engine:
         self._staged_knobs: dict[int, dict] = {}
 
     # ---- construction -------------------------------------------------
+    def _place_on_mesh(self) -> None:
+        """Place the engine's arrays for mesh serving: params replicated
+        (the startup weight broadcast -- the only collective), per-stream
+        trees sharded over 'data'.  Called at construction and after any
+        param load that rebuilds the bundle."""
+        from video_stream_segmenetation_tpu import parallel
+
+        mesh = self.mesh
+        b = self.bundle
+        b.matte_params = parallel.replicate_tree(mesh, b.matte_params)
+        if b.face_params is not None:
+            b.face_params = parallel.replicate_tree(mesh, b.face_params)
+        if b.lmk_params is not None:
+            b.lmk_params = parallel.replicate_tree(mesh, b.lmk_params)
+        self.state = parallel.shard_stream_tree(mesh, self.state)
+        self.knobs = parallel.shard_stream_tree(mesh, self.knobs)
+        if self.backgrounds.shape[0] == self.num_streams:
+            self.backgrounds = parallel.shard_stream_tree(
+                mesh, self.backgrounds
+            )
+        self._stream_put = lambda x: jax.device_put(
+            x, parallel.stream_sharding(mesh, getattr(x, "ndim", 1))
+        )
+
+    def _build_steps(self) -> None:
+        """(Re)build the jitted serving programs: the plain batch step and
+        the ranged group step (in-jit dynamic slice/update over the full
+        donated state -- runtime.make_range_step)."""
+        self._step = jax.jit(
+            runtime.make_step(self.bundle, self.statics),
+            donate_argnums=self._donate,
+        )
+        self._range_step = jax.jit(
+            runtime.make_range_step(self.bundle, self.statics),
+            donate_argnums=self._donate,
+        )
+        # param loaders rebuild the bundle: re-place it on the mesh
+        if self.mesh is not None and hasattr(self, "state"):
+            self._place_on_mesh()
+
     def _default_bundle(self, seed: int) -> runtime.ModelBundle:
         key = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(key, 3)
@@ -211,6 +292,7 @@ class Engine:
             decoder_impl=self.statics.int8_decoder_impl,
             stem_impl=self.statics.int8_stem_impl,
             head_impl=self.statics.int8_head_impl,
+            trunk_fold=self.statics.int8_trunk_fold,
         )
 
     def _swap_in_quantized_face(self) -> None:
@@ -248,11 +330,8 @@ class Engine:
             if lmk_path is not None:
                 lm_model = models.LandmarkNet()
                 self.bundle.lmk_model = lm_model
-            # the jitted step traced the reference graphs; rebuild it
-            self._step = jax.jit(
-                runtime.make_step(self.bundle, self.statics),
-                donate_argnums=self._donate,
-            )
+            # the jitted steps traced the reference graphs; rebuild them
+            self._build_steps()
         self.bundle.face_params = restore_params(face_path)
         if lmk_path is not None:
             self.bundle.lmk_params = restore_params(lmk_path)
@@ -304,10 +383,7 @@ class Engine:
                 "face_precision='int8' does not apply to the reference "
                 "ONNX face graphs; serving them in float", stacklevel=2
             )
-        self._step = jax.jit(
-            runtime.make_step(self.bundle, self.statics),
-            donate_argnums=self._donate,
-        )
+        self._build_steps()
 
     def load_matting_params(self, path: str) -> None:
         """Load flagship matting weights from an orbax checkpoint dir
@@ -334,6 +410,20 @@ class Engine:
         self.state = runtime.reset_stream(self.state, s)
         self._last_face_at[s] = 0.0
         return s
+
+    def admit_all(self) -> list[int]:
+        """Activate every free slot at once (bulk onboarding, e.g. a
+        chip taking over a 400-stream shard): ONE fused state reset
+        instead of S sequential per-slot resets.  Returns the slots."""
+        with self._lock:
+            free = np.flatnonzero(~self.active)
+            self.active[:] = True
+        if free.size:
+            mask = np.zeros((self.num_streams,), bool)
+            mask[free] = True
+            self.state = runtime.reset_streams(self.state, jnp.asarray(mask))
+            self._last_face_at[free] = 0.0
+        return [int(s) for s in free]
 
     def evict(self, slot: int) -> None:
         with self._lock:
@@ -392,11 +482,12 @@ class Engine:
         what the jitted step consumes -- a (packed, guide_lanes) tuple when
         guide_source='host' (lanes from the native framebuf pack pass, or
         gathered on device here for convenience callers)."""
+        put = self._stream_put if self.mesh is not None else (lambda x: x)
         if isinstance(frames, tuple):
-            packed = jnp.asarray(frames[0], dtype=jnp.uint8)
-            lanes = jnp.asarray(frames[1], dtype=jnp.uint8)
+            packed = put(jnp.asarray(frames[0], dtype=jnp.uint8))
+            lanes = put(jnp.asarray(frames[1], dtype=jnp.uint8))
             return packed, (packed, lanes)
-        frames_in = jnp.asarray(frames, dtype=jnp.uint8)
+        frames_in = put(jnp.asarray(frames, dtype=jnp.uint8))
         fj = frames_in
         if self._pack_frames is not None and fj.shape[-1] == 3:
             fj = self._pack_frames(fj)
@@ -496,6 +587,7 @@ class Engine:
         if degraded:
             token["degraded"] = True
             return token
+        self._maybe_snapshot()
         try:
             t1 = time.perf_counter()
             prev_state = None if self._donate else self.state
@@ -513,9 +605,14 @@ class Engine:
     def collect(self, token: dict) -> dict:
         """Wait for a dispatched step and return its results (same dict
         shape as :meth:`process`).  An asynchronous device failure rolls
-        the engine back (undonated) or cold-restarts per-stream state
-        (donated -- the documented zero-init cold start) and returns the
-        batch's input frames as passthrough."""
+        the engine back (undonated) or restores from the last host
+        snapshot (donated; :meth:`_recover_state` -- surviving streams
+        keep their cadence/affine identity and only the EMA re-warms)
+        and returns the batch's input frames as passthrough.  Tokens
+        from :meth:`dispatch_range` are delegated to
+        :meth:`collect_range`."""
+        if "slots" in token:
+            return self.collect_range(token)
         t0, now = token["t0"], token["now"]
         frames_in = token["frames_in"]
         applied = np.zeros((self.num_streams,), bool)
@@ -535,12 +632,8 @@ class Engine:
                 if token.get("prev_state") is not None:
                     self.state = token["prev_state"]
                 else:
-                    # donated buffers are gone: cold-start all streams
-                    self.state = runtime.init_state(
-                        self.num_streams, self.statics.mask_hw,
-                        rec=jax.tree_util.tree_map(jnp.zeros_like,
-                                                   self.state.rec),
-                    )
+                    # donated buffers are gone: restore from snapshot
+                    self._recover_state()
                 out_frames = frames_in
                 alpha = jnp.ones(
                     (self.num_streams, *self.statics.mask_hw), jnp.float32
@@ -557,6 +650,178 @@ class Engine:
         n_active = int(self.active.sum()) or self.num_streams
         self.counters.record_step(n_active, (t2 - t1) * 1e3, (t2 - t0) * 1e3)
         return {"frame": out_frames, "alpha": alpha, "metrics": self.stats()}
+
+    # ---- ranged double-buffered serving (the production rotation) -----
+    _CHEAP_FIELDS = ("affine", "has_affine", "frame_idx",
+                     "face_center", "has_center")
+
+    def _maybe_snapshot(self) -> None:
+        """On the configured cadence, start an ASYNC host copy of the
+        recovery snapshot (called at dispatch time, before the step is
+        launched, so the copy captures a known-good state).  The copy
+        from the PREVIOUS cadence point is materialized here -- long
+        since complete -- so the serving loop never blocks on device
+        readback."""
+        n = self._dispatches
+        self._dispatches += 1
+        every = self.snapshot_every
+        if not every or n % every:
+            return
+        if self._snap_pending is not None:
+            try:
+                self._snap = {
+                    "kind": self._snap_pending["kind"],
+                    "tree": jax.tree_util.tree_map(
+                        np.asarray, self._snap_pending["tree"]
+                    ),
+                }
+            except Exception:
+                pass  # a poisoned copy keeps the older snapshot
+        if self.state_snapshot_every and n % self.state_snapshot_every == 0:
+            kind, tree = "full", self.state
+        else:
+            kind = "cheap"
+            tree = {
+                k: getattr(self.state, k)
+                for k in self._CHEAP_FIELDS
+                if getattr(self.state, k) is not None
+            }
+        # device-side copy first: the state buffers themselves get
+        # DONATED to the very step this snapshot guards, which would
+        # invalidate a host copy still in flight.  The copy is jitted
+        # (one dispatch; eager per-leaf copies are pathological over
+        # slow transports) and owned by the snapshot.
+        tree = self._snap_copy(tree)
+        for x in jax.tree_util.tree_leaves(tree):
+            if hasattr(x, "copy_to_host_async"):
+                x.copy_to_host_async()
+        self._snap_pending = {"kind": kind, "tree": tree}
+
+    def _recover_state(self) -> None:
+        """Rebuild ``self.state`` after a donated-step failure: restore
+        the last completed host snapshot (full state if the deployment
+        snapshots it, else the cheap per-stream fields over a cold EMA)
+        so one poisoned step does NOT cold-restart every stream's
+        temporal identity (SURVEY.md §5 per-stream degradation)."""
+        if self._snap_pending is not None:
+            try:
+                self._snap = {
+                    "kind": self._snap_pending["kind"],
+                    "tree": jax.tree_util.tree_map(
+                        np.asarray, self._snap_pending["tree"]
+                    ),
+                }
+            except Exception:
+                pass
+            self._snap_pending = None
+        snap = self._snap
+        if snap is not None and snap["kind"] == "full":
+            restored = jax.tree_util.tree_map(jnp.asarray, snap["tree"])
+            if self.mesh is not None:
+                from video_stream_segmenetation_tpu import parallel
+
+                restored = parallel.shard_stream_tree(self.mesh, restored)
+            self.state = restored
+            return
+        fresh = runtime.init_state(
+            self.num_streams, self.statics.mask_hw,
+            rec=jax.tree_util.tree_map(jnp.zeros_like, self.state.rec),
+        )
+        if snap is not None:
+            import dataclasses
+
+            fresh = dataclasses.replace(
+                fresh,
+                **{k: jnp.asarray(v) for k, v in snap["tree"].items()},
+            )
+        if self.mesh is not None:
+            from video_stream_segmenetation_tpu import parallel
+
+            fresh = parallel.shard_stream_tree(self.mesh, fresh)
+        self.state = fresh
+
+    def dispatch_range(self, i0: int, i1: int, frames) -> dict:
+        """Launch one group step for stream rows ``[i0, i1)`` WITHOUT
+        waiting -- the pipelined analog of :meth:`process_range` and the
+        step the production rotation runs (StreamScheduler
+        ``group_sizes`` + ``run_forever``).  The group slice/scatter
+        happens INSIDE the jitted program over the full donated state
+        (runtime.make_range_step), so rotating groups costs no eager
+        per-tick state copies.  Pair with :meth:`collect_range`."""
+        t0 = time.perf_counter()
+        self._apply_staged()
+        now = time.monotonic()
+        gate = jnp.asarray(
+            (now - self._last_face_at[i0:i1]) >= self.face_min_interval_s
+        )
+        frames_in, frames_j = self._ingest(frames)
+        token = {"t0": t0, "now": now, "frames_in": frames_in,
+                 "slots": (i0, i1)}
+        if (
+            self.health.state is EngineHealth.DEGRADED
+            and not self.health.should_probe
+        ):
+            token["degraded"] = True
+            return token
+        self._maybe_snapshot()
+        try:
+            t1 = time.perf_counter()
+            prev_state = None if self._donate else self.state
+            new_full, out = self._range_step(
+                self.bundle.params, self.state, i0, frames_j,
+                self.backgrounds, self.knobs, gate,
+            )
+            self.state = new_full
+            token.update(out=out, t1=t1, prev_state=prev_state)
+        except Exception as e:  # trace/dispatch-time failure
+            self.health.record_failure(e)
+            token["failed"] = True
+        return token
+
+    def collect_range(self, token: dict) -> dict:
+        """Wait for a ranged dispatch and return its group's results
+        (same dict shape as :meth:`process_range`).  On an async device
+        failure the full state is poisoned (the group scatter aliases
+        it), so recovery rolls back (undonated) or restores the last
+        snapshot (donated, :meth:`_recover_state`)."""
+        i0, i1 = token["slots"]
+        gs = i1 - i0
+        t0, now = token["t0"], token["now"]
+        frames_in = token["frames_in"]
+        if "out" in token:
+            try:
+                out = token["out"]
+                jax.block_until_ready(out["frame"])
+                out_frames = out["frame"]
+                if self._unpack_frames is not None and out_frames.shape[-1] != 3:
+                    out_frames = self._unpack_frames(out_frames)
+                alpha = out["alpha"]
+                applied = np.zeros((self.num_streams,), bool)
+                applied[i0:i1] = np.asarray(out["face_applied"])
+                self._last_face_at[applied] = now
+                self.health.record_success()
+                t1 = token["t1"]
+            except Exception as e:  # async execution failure
+                self.health.record_failure(e)
+                if token.get("prev_state") is not None:
+                    self.state = token["prev_state"]
+                else:
+                    self._recover_state()
+                out_frames = frames_in
+                alpha = jnp.ones((gs, *self.statics.mask_hw), jnp.float32)
+                t1 = t0
+        else:
+            out_frames = frames_in
+            alpha = jnp.ones((gs, *self.statics.mask_hw), jnp.float32)
+            t1 = t0
+        t2 = time.perf_counter()
+        self.counters.record_step(gs, (t2 - t1) * 1e3, (t2 - t0) * 1e3)
+        return {
+            "frame": out_frames,
+            "alpha": alpha,
+            "slots": (i0, i1),
+            "metrics": self.stats(),
+        }
 
     def process_group(self, group: int, num_groups: int, frames: np.ndarray) -> dict:
         """Latency-mode step: process only stream group ``group`` (rows
