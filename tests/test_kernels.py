@@ -305,3 +305,41 @@ def test_nano_trunk_rowfold_matches_quadfold(rng):
         np.asarray(a_xla.apply(q, x)["alpha"]),
         np.asarray(a_vm.apply(q, x)["alpha"]),
     )
+
+
+def test_rowfold_perm_reusable_across_traces(rng):
+    """The lru-cached column-fold permutation must be host data: caching
+    a jnp constant created inside the FIRST trace leaks a tracer into
+    every later program that reuses the cache entry (the bench's group
+    step after the full step -- UnexpectedTracerError, 2026-08-19)."""
+    import jax
+
+    from video_stream_segmenetation_tpu import models
+    from video_stream_segmenetation_tpu.kernels.trunk_int8 import (
+        fused_nano_trunk_alpha_rowfold,
+    )
+    from video_stream_segmenetation_tpu.models import quantized as Q
+
+    fh, fw, ss = 240, 320, 10
+    model = models.MatteNetHD(stem_stride=ss, head_upsample=4, decoder="pico")
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, fh, fw, 3)))
+    q = Q.quantize_mattenet_hd(model, params)
+
+    def make_fn(s):
+        x = jnp.asarray(
+            rng.integers(-8, 8, (s, fh // ss * 4, fw // ss * 4, 128)).astype(
+                np.int8
+            )
+        )
+        h, w = x.shape[1], x.shape[2]
+        xr = x.reshape(s, h // 4, 4, w, 128)
+        return jax.jit(
+            lambda a: fused_nano_trunk_alpha_rowfold(a, q, interpret=True)
+        ), xr
+
+    # two distinct jit programs (different batch sizes) share the cache
+    f1, x1 = make_fn(1)
+    f2, x2 = make_fn(2)
+    a1 = np.asarray(f1(x1))
+    a2 = np.asarray(f2(x2))  # would raise UnexpectedTracerError pre-fix
+    assert np.isfinite(a1).all() and np.isfinite(a2).all()

@@ -423,17 +423,25 @@ def fused_nano_trunk_alpha(x0, q, interpret=None):
 
 
 @functools.lru_cache(maxsize=4)
-def _col_fold_perm(wp: int):
+def _col_fold_perm_np(wp: int):
     """One-hot [wp, wp] s8 permutation for the in-VMEM column parity
     fold: row d = qx*bw + j selects source column 4*j + qx (bw = wp//4),
-    so perm @ x[wp, c0] regroups w%4 into contiguous bw-blocks."""
+    so perm @ x[wp, c0] regroups w%4 into contiguous bw-blocks.
+
+    Cached as HOST numpy: jnp.asarray inside a jit trace yields a
+    TRACER, and caching that leaks it into later traces
+    (UnexpectedTracerError when a second program reuses the entry)."""
     import numpy as np
 
     bw = wp // 4
     perm = np.zeros((wp, wp), np.int8)
     d = np.arange(wp)
     perm[d, 4 * (d % bw) + d // bw] = 1
-    return jnp.asarray(perm)
+    return perm
+
+
+def _col_fold_perm(wp: int):
+    return jnp.asarray(_col_fold_perm_np(wp))
 
 
 def fused_nano_trunk_alpha_rowfold(x0r, q, interpret=None):
