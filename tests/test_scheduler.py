@@ -366,3 +366,47 @@ def test_range_dispatch_cheap_snapshot_recovery(rng):
     # EMA is cold (re-warms via first-frame copy), not stale garbage
     assert np.abs(np.asarray(eng.state.prev_alpha)).sum() == 0
     assert not np.asarray(eng.state.initialized).any()
+
+
+def test_async_face_gate_matches_sync_semantics(rng):
+    """The async (dispatch/collect) paths gate the face min-interval ON
+    DEVICE (engine._face_gate_async: zero per-tick host readbacks -- the
+    production-rotation requirement); the gate decisions must match the
+    synchronous process() path's host-side bookkeeping."""
+    import time as _time
+
+    from video_stream_segmenetation_tpu import runtime as rt
+    from video_stream_segmenetation_tpu.service import Engine
+
+    statics = rt.PipelineStatics(
+        frame_hw=(48, 64), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        background="color", lmk_interval=1,  # cadence fires every step
+    )
+
+    def run(use_async):
+        eng = Engine(num_streams=2, statics=statics, rng_seed=0,
+                     donate_state=False)
+        eng.face_min_interval_s = 10.0  # one face round, then gated shut
+        for _ in range(2):
+            eng.admit()
+        f = (rng.random((2, 48, 64, 3)) * 255).astype(np.uint8)
+        applied = []
+        for _ in range(3):
+            if use_async:
+                tok = eng.dispatch_range(0, 2, f)
+                eng.collect_range(tok)
+                applied.append(np.asarray(eng.state.has_center).copy())
+            else:
+                eng.process(f)
+                applied.append(np.asarray(eng.state.has_center).copy())
+        return applied, eng
+
+    ap_async, eng_a = run(True)
+    ap_sync, _ = run(False)
+    for a, b in zip(ap_async, ap_sync):
+        np.testing.assert_array_equal(a, b)
+
+    # the mirror saw the application: an immediate re-dispatch is gated
+    gate = np.asarray(eng_a._face_gate_async(0, 2, _time.monotonic()))
+    det = np.asarray(eng_a.state.has_center)
+    assert (~gate[det]).all() if det.any() else True

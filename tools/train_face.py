@@ -37,8 +37,14 @@ from video_stream_segmenetation_tpu.train.face import (  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "checkpoints")
 SCENE_HW = (288, 512)  # guide resolution (the face_input='guide' source)
-FD = 256
-LMK = 192
+# geometry overrides (the face-subpath cost lever, VERDICT r3 #5): the
+# serving default is FD 256 / LMK 192 (the reference's FD_INPUT /
+# LMK_INPUT); smaller inputs quarter the detector/landmark conv FLOPs.
+# Checkpoints save under a _<FD> suffix when non-default so the default
+# bundles stay untouched.
+FD = int(os.environ.get("VST_FD", "256"))
+LMK = int(os.environ.get("VST_LMK", "192"))
+SUFFIX = "" if (FD, LMK) == (256, 192) else f"_{FD}"
 
 
 def letterbox_batch(frames, box):
@@ -134,7 +140,7 @@ def main(steps=2000, batch=32):
         "facefinder", fd_model, fd_loss, None, steps, 1e-3,
         jnp.zeros((1, FD, FD, 3)),
     )
-    utils.save_params(os.path.join(OUT, "facefinder"), fd_params)
+    utils.save_params(os.path.join(OUT, "facefinder" + SUFFIX), fd_params)
     print("[facefinder] saved", flush=True)
 
     # ---- landmarks
@@ -151,7 +157,7 @@ def main(steps=2000, batch=32):
         "landmarknet", lmk_model, lm_loss, None, steps, 1e-3,
         jnp.zeros((1, LMK, LMK, 3)),
     )
-    utils.save_params(os.path.join(OUT, "landmarknet"), lmk_params)
+    utils.save_params(os.path.join(OUT, "landmarknet" + SUFFIX), lmk_params)
     print("[landmarknet] saved", flush=True)
 
     # ---- eval on held-out scenes

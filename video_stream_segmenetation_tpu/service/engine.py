@@ -28,6 +28,36 @@ from video_stream_segmenetation_tpu.runtime.config import PipelineStatics
 from video_stream_segmenetation_tpu.service.counters import Counters
 from video_stream_segmenetation_tpu.service.health import EngineHealth, HealthMonitor
 
+# ---- device-resident face-gate bookkeeping (async serving paths) ------
+# The pipelined dispatch/collect rotation must not touch the host per
+# tick: reading back out['face_applied'] to update a host-side
+# last-face-at array costs one device->host sync per tick, which is free
+# on local PCIe but IS the serving loop's critical path at scale (and
+# measurably so over this image's tunnel: ~44 ms/sync vs an ~8 ms step).
+# The async paths keep last-face-at ON DEVICE ([S] f32 seconds, rebased
+# to the engine epoch so f32 resolution stays sub-ms) and update it with
+# the step's own face_applied output -- zero readbacks; the synchronous
+# process() paths keep the host array (they materialize results anyway).
+import functools as _ft
+
+
+@_ft.partial(jax.jit, static_argnums=(1,))
+def _face_gate_dev(last, gs, i0, now, min_interval):
+    cur = jax.lax.dynamic_slice_in_dim(last, i0, gs)
+    return (now - cur) >= min_interval
+
+
+@jax.jit
+def _face_update_dev(last, i0, applied, now):
+    cur = jax.lax.dynamic_slice_in_dim(last, i0, applied.shape[0])
+    upd = jnp.where(applied, now.astype(cur.dtype), cur)
+    return jax.lax.dynamic_update_slice_in_dim(last, upd, i0, axis=0)
+
+
+@jax.jit
+def _face_reset_dev(last, mask):
+    return jnp.where(mask, jnp.float32(-1e9), last)
+
 
 class Engine:
     def __init__(
@@ -125,6 +155,11 @@ class Engine:
             self.backgrounds = jnp.zeros((num_streams, fh, fw, 3), jnp.uint8)
         self._last_face_at = np.zeros((num_streams,), np.float64)
         self.face_min_interval_s = 0.180  # L_MIN_MS (main.ts:11)
+        # async-path device mirror of _last_face_at (module docstring at
+        # _face_gate_dev): seconds rebased to the engine epoch; lazily
+        # built on first dispatch, then updated purely on device
+        self._face_epoch = time.monotonic()
+        self._face_last_dev = None
 
         # s2d ingestion: the step consumes space-to-depth packed frames
         # (ops/layout.py); natural-layout input to process() is packed
@@ -409,6 +444,12 @@ class Engine:
             self.active[s] = True
         self.state = runtime.reset_stream(self.state, s)
         self._last_face_at[s] = 0.0
+        if self._face_last_dev is not None:
+            mask = np.zeros((self.num_streams,), bool)
+            mask[s] = True
+            self._face_last_dev = _face_reset_dev(
+                self._face_last_dev, jnp.asarray(mask)
+            )
         return s
 
     def admit_all(self) -> list[int]:
@@ -423,6 +464,10 @@ class Engine:
             mask[free] = True
             self.state = runtime.reset_streams(self.state, jnp.asarray(mask))
             self._last_face_at[free] = 0.0
+            if self._face_last_dev is not None:
+                self._face_last_dev = _face_reset_dev(
+                    self._face_last_dev, jnp.asarray(mask)
+                )
         return [int(s) for s in free]
 
     def evict(self, slot: int) -> None:
@@ -494,6 +539,31 @@ class Engine:
         if self._make_lanes is not None:
             return frames_in, (fj, self._make_lanes(fj))
         return frames_in, fj
+
+    # ---- async-path face gating (zero host syncs; see _face_gate_dev)
+    def _face_gate_async(self, i0: int, gs: int, now: float):
+        """Device-computed min-interval gate for rows [i0, i0+gs)."""
+        if self._face_last_dev is None:
+            # lazy mirror: rebase host absolute seconds to the engine
+            # epoch; 0 means 'never' -> -1e9 so the gate opens at once
+            host = self._last_face_at
+            base = np.where(
+                host > 0, host - self._face_epoch, -1e9
+            ).astype(np.float32)
+            self._face_last_dev = jnp.asarray(base)
+        return _face_gate_dev(
+            self._face_last_dev, gs, i0,
+            np.float32(now - self._face_epoch),
+            np.float32(self.face_min_interval_s),
+        )
+
+    def _face_applied_async(self, i0: int, applied, now: float) -> None:
+        """Fold the step's face_applied output into the device mirror --
+        no readback; the host array is refreshed only by sync paths."""
+        self._face_last_dev = _face_update_dev(
+            self._face_last_dev, i0, applied,
+            np.float32(now - self._face_epoch),
+        )
 
     # ---- the serving step ---------------------------------------------
     def process(self, frames: np.ndarray) -> dict:
@@ -575,9 +645,7 @@ class Engine:
         t0 = time.perf_counter()
         self._apply_staged()
         now = time.monotonic()
-        gate = jnp.asarray(
-            (now - self._last_face_at) >= self.face_min_interval_s
-        )
+        gate = self._face_gate_async(0, self.num_streams, now)
         frames_in, frames_j = self._ingest(frames)
         token = {"t0": t0, "now": now, "frames_in": frames_in}
         degraded = (
@@ -596,6 +664,8 @@ class Engine:
                 self.backgrounds, self.knobs, gate,
             )
             self.state = new_state
+            # fold face timing on device -- collect() must not read back
+            self._face_applied_async(0, out["face_applied"], now)
             token.update(out=out, t1=t1, prev_state=prev_state)
         except Exception as e:  # trace/dispatch-time failure
             self.health.record_failure(e)
@@ -613,9 +683,8 @@ class Engine:
         :meth:`collect_range`."""
         if "slots" in token:
             return self.collect_range(token)
-        t0, now = token["t0"], token["now"]
+        t0 = token["t0"]
         frames_in = token["frames_in"]
-        applied = np.zeros((self.num_streams,), bool)
         if "out" in token:
             try:
                 out = token["out"]
@@ -624,7 +693,6 @@ class Engine:
                 if self._unpack_frames is not None and out_frames.shape[-1] != 3:
                     out_frames = self._unpack_frames(out_frames)
                 alpha = out["alpha"]
-                applied = np.asarray(out["face_applied"])
                 self.health.record_success()
                 t1 = token["t1"]
             except Exception as e:  # async execution failure
@@ -634,6 +702,9 @@ class Engine:
                 else:
                     # donated buffers are gone: restore from snapshot
                     self._recover_state()
+                # the dispatch-time mirror update chained on the poisoned
+                # step: rebuild lazily from the host array
+                self._face_last_dev = None
                 out_frames = frames_in
                 alpha = jnp.ones(
                     (self.num_streams, *self.statics.mask_hw), jnp.float32
@@ -645,7 +716,6 @@ class Engine:
                 (self.num_streams, *self.statics.mask_hw), jnp.float32
             )
             t1 = t0
-        self._last_face_at[applied] = now
         t2 = time.perf_counter()
         n_active = int(self.active.sum()) or self.num_streams
         self.counters.record_step(n_active, (t2 - t1) * 1e3, (t2 - t0) * 1e3)
@@ -656,27 +726,24 @@ class Engine:
                      "face_center", "has_center")
 
     def _maybe_snapshot(self) -> None:
-        """On the configured cadence, start an ASYNC host copy of the
+        """On the configured cadence, take a DEVICE-side copy of the
         recovery snapshot (called at dispatch time, before the step is
-        launched, so the copy captures a known-good state).  The copy
-        from the PREVIOUS cadence point is materialized here -- long
-        since complete -- so the serving loop never blocks on device
-        readback."""
+        launched, so the copy captures a known-good state) and start an
+        async host prefetch of it.  Nothing here blocks: materialization
+        to host numpy happens only inside :meth:`_recover_state`, where
+        paying a readback is fine.  The copy survives donation (jnp.copy
+        = fresh buffers) and survives compute poisoning (NaN/bad-input
+        failures leave buffers intact); on outright device loss the
+        prefetch, if complete, still yields the host bytes -- else
+        recovery degrades to the documented cold start."""
         n = self._dispatches
         self._dispatches += 1
         every = self.snapshot_every
         if not every or n % every:
             return
         if self._snap_pending is not None:
-            try:
-                self._snap = {
-                    "kind": self._snap_pending["kind"],
-                    "tree": jax.tree_util.tree_map(
-                        np.asarray, self._snap_pending["tree"]
-                    ),
-                }
-            except Exception:
-                pass  # a poisoned copy keeps the older snapshot
+            # previous cadence point becomes the fallback snapshot
+            self._snap = self._snap_pending
         if self.state_snapshot_every and n % self.state_snapshot_every == 0:
             kind, tree = "full", self.state
         else:
@@ -702,19 +769,28 @@ class Engine:
         the last completed host snapshot (full state if the deployment
         snapshots it, else the cheap per-stream fields over a cold EMA)
         so one poisoned step does NOT cold-restart every stream's
-        temporal identity (SURVEY.md §5 per-stream degradation)."""
-        if self._snap_pending is not None:
+        temporal identity (SURVEY.md §5 per-stream degradation).
+
+        Snapshots are held as DEVICE copies with an async host prefetch
+        (:meth:`_maybe_snapshot`); this is the one place that pays the
+        host materialization, newest first -- a snapshot that cannot be
+        read (device loss before its prefetch finished) falls back to
+        the previous one, then to the cold start."""
+        snap = None
+        for cand in (self._snap_pending, self._snap):
+            if cand is None:
+                continue
             try:
-                self._snap = {
-                    "kind": self._snap_pending["kind"],
+                snap = {
+                    "kind": cand["kind"],
                     "tree": jax.tree_util.tree_map(
-                        np.asarray, self._snap_pending["tree"]
+                        np.asarray, cand["tree"]
                     ),
                 }
+                break
             except Exception:
-                pass
-            self._snap_pending = None
-        snap = self._snap
+                continue  # unreadable copy: try the older snapshot
+        self._snap_pending = None
         if snap is not None and snap["kind"] == "full":
             restored = jax.tree_util.tree_map(jnp.asarray, snap["tree"])
             if self.mesh is not None:
@@ -751,9 +827,7 @@ class Engine:
         t0 = time.perf_counter()
         self._apply_staged()
         now = time.monotonic()
-        gate = jnp.asarray(
-            (now - self._last_face_at[i0:i1]) >= self.face_min_interval_s
-        )
+        gate = self._face_gate_async(i0, i1 - i0, now)
         frames_in, frames_j = self._ingest(frames)
         token = {"t0": t0, "now": now, "frames_in": frames_in,
                  "slots": (i0, i1)}
@@ -772,6 +846,8 @@ class Engine:
                 self.backgrounds, self.knobs, gate,
             )
             self.state = new_full
+            # fold face timing on device -- collect must not read back
+            self._face_applied_async(i0, out["face_applied"], now)
             token.update(out=out, t1=t1, prev_state=prev_state)
         except Exception as e:  # trace/dispatch-time failure
             self.health.record_failure(e)
@@ -786,7 +862,7 @@ class Engine:
         snapshot (donated, :meth:`_recover_state`)."""
         i0, i1 = token["slots"]
         gs = i1 - i0
-        t0, now = token["t0"], token["now"]
+        t0 = token["t0"]
         frames_in = token["frames_in"]
         if "out" in token:
             try:
@@ -796,9 +872,6 @@ class Engine:
                 if self._unpack_frames is not None and out_frames.shape[-1] != 3:
                     out_frames = self._unpack_frames(out_frames)
                 alpha = out["alpha"]
-                applied = np.zeros((self.num_streams,), bool)
-                applied[i0:i1] = np.asarray(out["face_applied"])
-                self._last_face_at[applied] = now
                 self.health.record_success()
                 t1 = token["t1"]
             except Exception as e:  # async execution failure
@@ -807,6 +880,9 @@ class Engine:
                     self.state = token["prev_state"]
                 else:
                     self._recover_state()
+                # the dispatch-time mirror update chained on the poisoned
+                # step: rebuild lazily from the host array
+                self._face_last_dev = None
                 out_frames = frames_in
                 alpha = jnp.ones((gs, *self.statics.mask_hw), jnp.float32)
                 t1 = t0
