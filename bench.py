@@ -181,7 +181,8 @@ def main() -> None:
             StreamScheduler/Engine (chained ticks, one scalar sync)."""
             eng = Engine(
                 num_streams=sum(group_sizes), statics=statics,
-                donate_state=True,
+                donate_state=True, output_layout="packed",
+                collect_sync=False,
             )
             sch = StreamScheduler(
                 eng, use_native_pool=False, tick_hz=TARGET_FPS,
@@ -240,7 +241,8 @@ def main() -> None:
                 "headroom_ms": round(budget_ms - best[1], 2),
                 "path": "StreamScheduler.step_pipelined -> "
                         "Engine.dispatch_range (production rotation; "
-                        "frames device-resident)",
+                        "frames device-resident, packed output to the "
+                        "native encode stage)",
                 "extrapolation": "none (full schedule executed)",
             }
         else:

@@ -973,20 +973,35 @@ def make_range_step(bundle: ModelBundle, statics: PipelineStatics):
     ``gs`` is static per trace (one compile per distinct group size, like
     the shape-polymorphic plain step); ``i0`` is a traced scalar, so the
     rotation's different offsets share one executable.
+
+    The face min-interval bookkeeping is IN-GRAPH: ``face_last`` [S] f32
+    (seconds since the engine epoch of each stream's last face
+    application, device-resident) and the scalar ``now`` ride the same
+    program -- the gate compare and the applied-scatter cost nothing,
+    and the serving loop makes exactly ONE dispatch per tick (any extra
+    per-tick host->device round trip is the difference between a 33 ms
+    and a ~60 ms round on a tunneled transport, and real latency even on
+    local PCIe).
     """
     step = make_step(bundle, statics)
     import jax as _jax
 
-    def range_step(params, full_state, i0, frames, full_bgs, full_knobs, face_gate):
-        gs = face_gate.shape[0]
+    def range_step(params, full_state, i0, frames, full_bgs, full_knobs,
+                   face_last, now, min_interval, gs: int):
         sl = lambda x: _jax.lax.dynamic_slice_in_dim(x, i0, gs, axis=0)
         gstate = _jax.tree_util.tree_map(sl, full_state)
         gknobs = _jax.tree_util.tree_map(sl, full_knobs)
         gbgs = full_bgs if full_bgs.shape[0] == 1 else sl(full_bgs)
+        last_g = sl(face_last)
+        face_gate = (now - last_g) >= min_interval
         new_g, out = step(params, gstate, frames, gbgs, gknobs, face_gate)
         upd = lambda f, g: _jax.lax.dynamic_update_slice_in_dim(f, g, i0, axis=0)
         new_full = _jax.tree_util.tree_map(upd, full_state, new_g)
-        return new_full, out
+        new_last_g = jnp.where(
+            out["face_applied"], now.astype(last_g.dtype), last_g
+        )
+        new_face_last = upd(face_last, new_last_g)
+        return new_full, new_face_last, out
 
     return range_step
 

@@ -68,6 +68,8 @@ class Engine:
         rng_seed: int = 0,
         donate_state: bool = True,
         mesh=None,
+        output_layout: str = "natural",
+        collect_sync: bool = True,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` (parallel.make_mesh) turns
         this engine multi-device: params replicate, every per-stream
@@ -126,6 +128,11 @@ class Engine:
         self._snap_copy = jax.jit(
             lambda t: jax.tree_util.tree_map(jnp.copy, t)
         )
+        # cheap-snapshot single-buffer packer (built lazily; f32 carries
+        # frame_idx exactly up to 2^24 frames ~ 6 days at 30 fps; past
+        # that a recovery may shift cadence phase by a frame -- harmless)
+        self._cheap_pack_fn = None
+        self._cheap_spec = None
 
         mh, mw = self.statics.mask_hw
         fh, fw = self.statics.frame_hw
@@ -160,6 +167,15 @@ class Engine:
         # built on first dispatch, then updated purely on device
         self._face_epoch = time.monotonic()
         self._face_last_dev = None
+        # per-tick scalar-upload caches: the ranged program takes (now,
+        # min_interval) as device scalars; uploading fresh ones per tick
+        # costs ~0.5 ms each over slow transports for no benefit.  'now'
+        # is quantized to 25 ms buckets (the min-interval gate's own
+        # tolerance class -- the reference's rAF timing jitters more) so
+        # the cached scalar refreshes at most once per frame interval.
+        self._now_bucket: int | None = None
+        self._now_dev = None
+        self._mi_cache: tuple | None = None
 
         # s2d ingestion: the step consumes space-to-depth packed frames
         # (ops/layout.py); natural-layout input to process() is packed
@@ -173,6 +189,29 @@ class Engine:
         else:
             self._pack_frames = None
             self._unpack_frames = None
+        # output_layout='packed': serve the composited frames in the s2d
+        # packed layout the step emits.  The production consumer is the
+        # native encode stage (runtime/native.py unpacks during its copy,
+        # for free); the default 'natural' unpacks on device for API
+        # convenience -- a full-batch depth_to_space, ~the single most
+        # expensive relayout XLA can be asked for at S=96x720p, so a
+        # capacity deployment MUST serve packed (bench.py measures the
+        # packed production rotation for exactly this reason).
+        if output_layout not in ("natural", "packed"):
+            raise ValueError(f"unknown output_layout {output_layout!r}")
+        if output_layout == "packed":
+            self._unpack_frames = None
+        # collect_sync=False: collect()/collect_range() return results as
+        # device FUTURES instead of blocking on step completion.  The
+        # device already serializes the rotation through the donated
+        # state's data dependence; waiting is the CONSUMER's choice (the
+        # native encode stage forces it when it reads the frames), and a
+        # per-tick wait in the scheduler costs one host round trip per
+        # tick for nothing.  Trade-off: an async device failure surfaces
+        # at the next materialization point (a later collect, stats read,
+        # or the consumer) instead of the same tick -- the recovery path
+        # is identical.
+        self._collect_sync = collect_sync
         # guide_source='host': the step consumes (packed, guide_lanes)
         # (pipeline.py host_lanes; production lanes come from the native
         # framebuf's pack pass, FramePool(guide_lanes=...)).  The
@@ -239,6 +278,7 @@ class Engine:
         self._range_step = jax.jit(
             runtime.make_range_step(self.bundle, self.statics),
             donate_argnums=self._donate,
+            static_argnames=("gs",),
         )
         # param loaders rebuild the bundle: re-place it on the mesh
         if self.mesh is not None and hasattr(self, "state"):
@@ -541,28 +581,43 @@ class Engine:
         return frames_in, fj
 
     # ---- async-path face gating (zero host syncs; see _face_gate_dev)
-    def _face_gate_async(self, i0: int, gs: int, now: float):
-        """Device-computed min-interval gate for rows [i0, i0+gs)."""
+    def _face_mirror(self):
+        """Lazy device mirror of _last_face_at: seconds rebased to the
+        engine epoch; 0 means 'never' -> -1e9 so the gate opens at once."""
         if self._face_last_dev is None:
-            # lazy mirror: rebase host absolute seconds to the engine
-            # epoch; 0 means 'never' -> -1e9 so the gate opens at once
             host = self._last_face_at
             base = np.where(
                 host > 0, host - self._face_epoch, -1e9
             ).astype(np.float32)
             self._face_last_dev = jnp.asarray(base)
+        return self._face_last_dev
+
+    def _face_gate_async(self, i0: int, gs: int, now: float):
+        """Device-computed min-interval gate for rows [i0, i0+gs)."""
         return _face_gate_dev(
-            self._face_last_dev, gs, i0,
-            np.float32(now - self._face_epoch),
-            np.float32(self.face_min_interval_s),
+            self._face_mirror(), gs, i0,
+            self._now_device(now), self._min_interval_device(),
         )
+
+    def _now_device(self, now: float):
+        """Cached device scalar of (now - epoch), 25 ms buckets."""
+        q = int((now - self._face_epoch) * 40.0)
+        if self._now_bucket != q:
+            self._now_bucket = q
+            self._now_dev = jnp.asarray(np.float32(q / 40.0))
+        return self._now_dev
+
+    def _min_interval_device(self):
+        mi = float(self.face_min_interval_s)
+        if self._mi_cache is None or self._mi_cache[0] != mi:
+            self._mi_cache = (mi, jnp.asarray(np.float32(mi)))
+        return self._mi_cache[1]
 
     def _face_applied_async(self, i0: int, applied, now: float) -> None:
         """Fold the step's face_applied output into the device mirror --
         no readback; the host array is refreshed only by sync paths."""
         self._face_last_dev = _face_update_dev(
-            self._face_last_dev, i0, applied,
-            np.float32(now - self._face_epoch),
+            self._face_last_dev, i0, applied, self._now_device(now)
         )
 
     # ---- the serving step ---------------------------------------------
@@ -688,7 +743,8 @@ class Engine:
         if "out" in token:
             try:
                 out = token["out"]
-                jax.block_until_ready(out["frame"])
+                if self._collect_sync:
+                    jax.block_until_ready(out["frame"])
                 out_frames = out["frame"]
                 if self._unpack_frames is not None and out_frames.shape[-1] != 3:
                     out_frames = self._unpack_frames(out_frames)
@@ -745,24 +801,63 @@ class Engine:
             # previous cadence point becomes the fallback snapshot
             self._snap = self._snap_pending
         if self.state_snapshot_every and n % self.state_snapshot_every == 0:
-            kind, tree = "full", self.state
+            kind, tree = "full", self._snap_copy(self.state)
         else:
-            kind = "cheap"
-            tree = {
-                k: getattr(self.state, k)
-                for k in self._CHEAP_FIELDS
-                if getattr(self.state, k) is not None
-            }
+            # cheap fields packed into ONE [S, K] f32 buffer (a jitted
+            # cast+concat): a single device copy and a single host
+            # prefetch call instead of one per field -- per-call transfer
+            # overhead is what bounds the serving loop, not bytes
+            kind = "cheap_packed"
+            tree = self._cheap_pack()
         # device-side copy first: the state buffers themselves get
         # DONATED to the very step this snapshot guards, which would
         # invalidate a host copy still in flight.  The copy is jitted
         # (one dispatch; eager per-leaf copies are pathological over
         # slow transports) and owned by the snapshot.
-        tree = self._snap_copy(tree)
         for x in jax.tree_util.tree_leaves(tree):
             if hasattr(x, "copy_to_host_async"):
                 x.copy_to_host_async()
         self._snap_pending = {"kind": kind, "tree": tree}
+
+    def _cheap_fields(self):
+        return [
+            (k, getattr(self.state, k))
+            for k in self._CHEAP_FIELDS
+            if getattr(self.state, k) is not None
+        ]
+
+    def _cheap_pack(self):
+        """[S, K] f32 pack of the cheap per-stream fields (fresh buffer:
+        jnp concat of casts never aliases the donated state)."""
+        if self._cheap_pack_fn is None:
+            fields = self._cheap_fields()
+            self._cheap_spec = [
+                (k, v.shape[1:], v.dtype) for k, v in fields
+            ]
+
+            def pack(state):
+                cols = [
+                    getattr(state, k)
+                    .reshape(self.num_streams, -1)
+                    .astype(jnp.float32)
+                    for k, _, _ in self._cheap_spec
+                ]
+                return jnp.concatenate(cols, axis=1)
+
+            self._cheap_pack_fn = jax.jit(pack)
+        return self._cheap_pack_fn(self.state)
+
+    def _cheap_unpack(self, packed_np):
+        """Host-side inverse of :meth:`_cheap_pack`."""
+        out, o = {}, 0
+        for k, shp, dt in self._cheap_spec:
+            n = int(np.prod(shp)) if shp else 1
+            col = packed_np[:, o : o + n].reshape(
+                (self.num_streams, *shp)
+            )
+            out[k] = col.astype(dt)
+            o += n
+        return out
 
     def _recover_state(self) -> None:
         """Rebuild ``self.state`` after a donated-step failure: restore
@@ -806,9 +901,12 @@ class Engine:
         if snap is not None:
             import dataclasses
 
+            tree = snap["tree"]
+            if snap["kind"] == "cheap_packed":
+                tree = self._cheap_unpack(tree)
             fresh = dataclasses.replace(
                 fresh,
-                **{k: jnp.asarray(v) for k, v in snap["tree"].items()},
+                **{k: jnp.asarray(v) for k, v in tree.items()},
             )
         if self.mesh is not None:
             from video_stream_segmenetation_tpu import parallel
@@ -827,7 +925,6 @@ class Engine:
         t0 = time.perf_counter()
         self._apply_staged()
         now = time.monotonic()
-        gate = self._face_gate_async(i0, i1 - i0, now)
         frames_in, frames_j = self._ingest(frames)
         token = {"t0": t0, "now": now, "frames_in": frames_in,
                  "slots": (i0, i1)}
@@ -841,13 +938,16 @@ class Engine:
         try:
             t1 = time.perf_counter()
             prev_state = None if self._donate else self.state
-            new_full, out = self._range_step(
+            # ONE dispatch per tick: the face min-interval gate + applied
+            # scatter ride the jitted program (runtime.make_range_step)
+            new_full, new_last, out = self._range_step(
                 self.bundle.params, self.state, i0, frames_j,
-                self.backgrounds, self.knobs, gate,
+                self.backgrounds, self.knobs, self._face_mirror(),
+                self._now_device(now), self._min_interval_device(),
+                gs=i1 - i0,
             )
             self.state = new_full
-            # fold face timing on device -- collect must not read back
-            self._face_applied_async(i0, out["face_applied"], now)
+            self._face_last_dev = new_last
             token.update(out=out, t1=t1, prev_state=prev_state)
         except Exception as e:  # trace/dispatch-time failure
             self.health.record_failure(e)
@@ -867,7 +967,8 @@ class Engine:
         if "out" in token:
             try:
                 out = token["out"]
-                jax.block_until_ready(out["frame"])
+                if self._collect_sync:
+                    jax.block_until_ready(out["frame"])
                 out_frames = out["frame"]
                 if self._unpack_frames is not None and out_frames.shape[-1] != 3:
                     out_frames = self._unpack_frames(out_frames)
