@@ -127,3 +127,34 @@ def test_chunked_step_degrades_to_passthrough(engine, rng):
         engine.health._degraded_at = 0.0
     out = engine.process_chunked(f, chunk_size=1)
     assert engine.health.state is EngineHealth.OK
+
+
+def test_packed_output_layout_matches_unpacked(rng):
+    """Engine(output_layout='packed') serves the s2d packed composite
+    (the native-encode production contract); depth_to_space of it must
+    equal the 'natural' engine's output bit-exactly."""
+    import dataclasses
+
+    from video_stream_segmenetation_tpu import ops
+    from video_stream_segmenetation_tpu.runtime.presets import preset
+
+    statics = dataclasses.replace(
+        preset("fast_int8_pico"),
+        frame_hw=(80, 160), mask_hw=(32, 64), fd_size=64, lmk_size=48,
+        s2d_block=10, background="color", face_path=False,
+    )
+    f = (rng.random((2, 80, 160, 3)) * 255).astype(np.uint8)
+
+    def run(layout):
+        eng = Engine(num_streams=2, statics=statics, rng_seed=0,
+                     donate_state=False, output_layout=layout)
+        for _ in range(2):
+            eng.admit()
+        return eng.process(f)["frame"]
+
+    nat = np.asarray(run("natural"))
+    packed = run("packed")
+    assert packed.shape[-1] == 300  # still packed
+    np.testing.assert_array_equal(
+        np.asarray(ops.depth_to_space(packed, 10)), nat
+    )
