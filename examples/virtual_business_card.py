@@ -67,9 +67,13 @@ def main():
     engine = Engine(num_streams=args.streams, statics=statics, donate_state=False)
     if args.checkpoint:
         engine.load_matting_params(args.checkpoint)
-    # trained face models, when available (tools/train_face.py)
-    if os.path.isdir("checkpoints/facefinder") and statics.fd_size == 256:
-        engine.load_face_params("checkpoints/facefinder", "checkpoints/landmarknet")
+    # trained face models, when available (tools/train_face.py saves
+    # geometry-suffixed checkpoints for non-default fd sizes)
+    suf = "" if statics.fd_size == 256 else f"_{statics.fd_size}"
+    if os.path.isdir(f"checkpoints/facefinder{suf}"):
+        engine.load_face_params(
+            f"checkpoints/facefinder{suf}", f"checkpoints/landmarknet{suf}"
+        )
     sched = runtime.StreamScheduler(engine, use_native_pool=True)
 
     # personalized backgrounds from the sample content data
