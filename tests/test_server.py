@@ -111,3 +111,28 @@ def test_404s(served):
     assert code == 404
     code, _ = _post(srv.port, "/streams/99/knobs", {"gamma": 1})
     assert code == 404
+
+
+def test_background_endpoint(served):
+    """POST /streams/<id>/background: solid color, template re-render,
+    raw image rows (the settings panel's background selector,
+    script.ts:82-111)."""
+    eng, srv = served
+    before = np.asarray(eng.backgrounds[0]).copy()
+    code, body = _post(srv.port, "/streams/0/background",
+                       {"color": [10, 200, 30]})
+    assert code == 200 and body["ok"]
+    after = np.asarray(eng.backgrounds[0])
+    assert (after != before).any()
+
+    # template switch through the renderer
+    data = bgm.sample_app_data()
+    tid = list(data.templates)[0]
+    code, body = _post(srv.port, "/streams/0/background",
+                       {"template_id": tid})
+    assert code == 200 and body["ok"]
+
+    # unknown template -> 400
+    code, _ = _post(srv.port, "/streams/0/background",
+                    {"template_id": "nope"})
+    assert code == 400

@@ -97,6 +97,39 @@ def make_handler(engine, renderers=None):
                         engine.set_background(slot, renderers[slot].render())
                         return self._json(200, {"ok": True, "level": level})
                     return self._json(409, {"error": "no renderer for stream"})
+                if action == "background":
+                    # the settings panel's background selector
+                    # (script.ts:82-111): solid color, template re-render,
+                    # or raw image rows
+                    body = self._body()
+                    import numpy as np
+
+                    if "color" in body:
+                        r, g, b = (int(c) for c in body["color"])
+                        fh, fw = engine.statics.frame_hw
+                        img = np.broadcast_to(
+                            np.asarray([r, g, b], np.uint8), (fh, fw, 3)
+                        )
+                        engine.set_background(slot, img)
+                        return self._json(200, {"ok": True})
+                    if "template_id" in body and renderers and slot in renderers:
+                        from video_stream_segmenetation_tpu import background as _bgm
+
+                        tid = body["template_id"]
+                        templates = _bgm.sample_app_data().templates
+                        if tid not in templates:
+                            return self._json(
+                                400, {"error": f"unknown template {tid!r}"}
+                            )
+                        renderers[slot].set_template(templates[tid])
+                        engine.set_background(slot, renderers[slot].render())
+                        return self._json(200, {"ok": True})
+                    if "image" in body:  # nested lists, uint8 RGB
+                        engine.set_background(
+                            slot, np.asarray(body["image"], np.uint8)
+                        )
+                        return self._json(200, {"ok": True})
+                    return self._json(400, {"error": "need color/template_id/image"})
                 return self._json(404, {"error": "unknown action"})
             except ValueError as e:
                 return self._json(400, {"error": str(e)})
