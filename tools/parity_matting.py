@@ -173,11 +173,20 @@ def main():
     clips = [realistic_clip(T, FRAME_HW, s, bank) for s in range(2)]
 
     print("serving pipelines...", flush=True)
+    import faulthandler, time as _t
+
+    # the tunnel makes eager init latency-bound; a periodic stack dump
+    # locates any stall without guessing (stderr -> run log)
+    faulthandler.dump_traceback_later(300, repeat=True)
+    t0 = _t.perf_counter()
     eng_i8 = build_engine()
+    print(f"engine int8 built {_t.perf_counter()-t0:.0f}s", flush=True)
     eng_f = build_engine(matting_precision="bf16")
+    print(f"engine bf16 built {_t.perf_counter()-t0:.0f}s", flush=True)
     eng_model = build_engine(
         matting_precision="bf16", debug_stage="model_only"
     )
+    print(f"engine model_only built {_t.perf_counter()-t0:.0f}s", flush=True)
 
     import jax.numpy as jnp
 

@@ -285,6 +285,36 @@ class Engine:
             self._place_on_mesh()
 
     def _default_bundle(self, seed: int) -> runtime.ModelBundle:
+        """Build the default model bundle with params initialized ON THE
+        HOST (cpu backend) and returned as numpy trees.
+
+        Two reasons, both tunnel-shaped (ARCHITECTURE.md perf notes):
+        eager flax ``init`` on a remote device is one HTTP dispatch per
+        op, and the int8 quantizer reads the float tree back to host --
+        a device->host path measured in KB/s on axon (a 5 MB pico tree
+        stalled >10 min).  Host params upload exactly once, at the first
+        jitted step call.  When no cpu backend exists the inits run on
+        the default device as before."""
+        try:
+            _cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            _cpu = None
+        if _cpu is not None and jax.default_backend() != "cpu":
+            with jax.default_device(_cpu):
+                b = self._init_bundle_models(seed)
+            import numpy as _np
+
+            return runtime.ModelBundle(
+                b.matte_model,
+                jax.tree_util.tree_map(_np.asarray, b.matte_params),
+                b.face_model,
+                jax.tree_util.tree_map(_np.asarray, b.face_params),
+                b.lmk_model,
+                jax.tree_util.tree_map(_np.asarray, b.lmk_params),
+            )
+        return self._init_bundle_models(seed)
+
+    def _init_bundle_models(self, seed: int) -> runtime.ModelBundle:
         key = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(key, 3)
         mh, mw = self.statics.mask_hw
