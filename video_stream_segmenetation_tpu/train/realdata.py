@@ -52,10 +52,14 @@ def load_background_bank(
     hw: tuple[int, int],
     directory: str = REF_BG_DIR,
     max_images: int = 16,
-    oversample: int = 2,
+    oversample: float = 2,
+    as_uint8: bool = False,
 ) -> np.ndarray:
-    """Load real photos -> float [N, oversample*H, oversample*W, 3] bank
+    """Load real photos -> [N, oversample*H, oversample*W, 3] bank
     (host numpy; larger than the training res so random crops have room).
+    ``as_uint8`` keeps the bank u8 (4x smaller — at serving res the
+    one-time device upload rides the ~1 MB/s tunnel, so bytes matter);
+    make_real_bg_data_fn converts to float after the per-sample crop.
     Raises FileNotFoundError when no photos are available."""
     from PIL import Image
 
@@ -67,13 +71,16 @@ def load_background_bank(
     )[:max_images]
     if not names:
         raise FileNotFoundError(f"no images under {directory}")
-    h, w = hw[0] * oversample, hw[1] * oversample
-    bank = np.empty((len(names), h, w, 3), np.float32)
+    h, w = int(hw[0] * oversample), int(hw[1] * oversample)
+    bank = np.empty(
+        (len(names), h, w, 3), np.uint8 if as_uint8 else np.float32
+    )
     for i, n in enumerate(names):
         img = Image.open(os.path.join(directory, n)).convert("RGB").resize(
             (w, h), Image.BILINEAR
         )
-        bank[i] = np.asarray(img, np.float32) / 255.0
+        a = np.asarray(img, np.float32)
+        bank[i] = a.astype(np.uint8) if as_uint8 else a / 255.0
     return bank
 
 
@@ -103,6 +110,8 @@ def make_real_bg_data_fn(bank: np.ndarray, device_bank=None):
         imgs = bank_j[idx]  # [B, bh, bw, 3]
         rows = jnp.take_along_axis(imgs, ys[:, :, None, None], axis=1)
         bg = jnp.take_along_axis(rows, xs[:, None, :, None], axis=2)
+        if bg.dtype == jnp.uint8:  # u8 bank: unit-convert the crop only
+            bg = bg.astype(jnp.float32) / 255.0
 
         flip = jax.random.bernoulli(ks[5], 0.5, (batch,))
         bg = jnp.where(flip[:, None, None, None], bg[:, :, ::-1, :], bg)
@@ -118,5 +127,29 @@ def make_real_bg_data_fn(bank: np.ndarray, device_bank=None):
             fg * alpha[..., None] + bg * (1 - alpha[..., None]) + noise, 0, 1
         )
         return frame, alpha
+
+    return data_fn
+
+
+def make_mixed_data_fn(real_fn, real_frac: float = 0.5):
+    """data_fn mixing real-photo backgrounds with the fully procedural
+    scenes, ``real_frac`` of each batch from the photo bank.
+
+    REALDATA.json's cross-distribution matrix shows single-distribution
+    training trades one eval for the other (synthetic-only drops to 0.73
+    on real backgrounds, realbg-only to 0.71 on synthetic); the mixed
+    batch is the standard fix and is what the flagship fine-tune
+    (tools/train_flagship_realbg.py) uses."""
+    from .loop import synthetic_matting_batch
+
+    def data_fn(key, batch: int, hw: tuple[int, int]):
+        b_real = max(1, min(batch - 1, int(round(batch * real_frac))))
+        k1, k2 = jax.random.split(key)
+        fr_r, a_r = real_fn(k1, b_real, hw)
+        fr_s, a_s = synthetic_matting_batch(k2, batch - b_real, hw)
+        return (
+            jnp.concatenate([fr_r, fr_s], axis=0),
+            jnp.concatenate([a_r, a_s], axis=0),
+        )
 
     return data_fn
