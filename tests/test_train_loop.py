@@ -59,3 +59,32 @@ def test_real_bg_data_fn_shapes():
     # a second key gives different backgrounds (augmentation is live)
     frames2, _ = fn(jax.random.PRNGKey(1), 3, (24, 32))
     assert np.abs(np.asarray(frames2) - f).max() > 0.05
+
+
+def test_real_bg_uint8_bank_and_mixed_fn():
+    """u8 bank (4x-smaller tunnel upload) converts to unit floats after
+    the crop, and the mixed data_fn concatenates both distributions
+    (tools/train_flagship_realbg.py path)."""
+    import jax
+
+    from video_stream_segmenetation_tpu.train import realdata
+
+    try:
+        bank8 = realdata.load_background_bank(
+            (24, 32), max_images=2, oversample=1.5, as_uint8=True
+        )
+    except FileNotFoundError:
+        pytest.skip("no real background photos available")
+    assert bank8.dtype == np.uint8 and bank8.shape[1:3] == (36, 48)
+    fn = realdata.make_real_bg_data_fn(bank8)
+    frames, alpha = fn(jax.random.PRNGKey(0), 3, (24, 32))
+    f = np.asarray(frames)
+    assert f.dtype == np.float32 and f.min() >= 0.0 and f.max() <= 1.0
+
+    mixed = realdata.make_mixed_data_fn(fn, real_frac=0.5)
+    frames, alpha = mixed(jax.random.PRNGKey(0), 4, (24, 32))
+    assert frames.shape == (4, 24, 32, 3) and alpha.shape == (4, 24, 32)
+    # real_frac is clamped so both halves are always represented
+    mixed_all = realdata.make_mixed_data_fn(fn, real_frac=1.0)
+    frames, _ = mixed_all(jax.random.PRNGKey(0), 2, (24, 32))
+    assert frames.shape[0] == 2

@@ -50,6 +50,8 @@ from video_stream_segmenetation_tpu.train.realdata import (  # noqa: E402
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPT = os.path.join(ROOT, "checkpoints")
 NAME = os.environ.get("VST_CKPT", "mattenet_hd10_pico")
+REAL_FRAC = float(os.environ.get("VST_REAL_FRAC", "0.5"))
+LR = float(os.environ.get("VST_LR", "1.5e-4"))
 SERVE_HW = (720, 1280)
 BATCH = 8
 
@@ -80,7 +82,7 @@ def main(steps: int = 400, promote: bool = False) -> None:
     bank = load_background_bank(SERVE_HW, oversample=1.5, as_uint8=True)
     print(f"bank: {bank.shape} uint8 ({bank.nbytes >> 20} MB)", flush=True)
     real_fn = make_real_bg_data_fn(bank)
-    mixed_fn = make_mixed_data_fn(real_fn, real_frac=0.5)
+    mixed_fn = make_mixed_data_fn(real_fn, real_frac=REAL_FRAC)
 
     model = models.MatteNetHD(stem_stride=10, head_upsample=4, decoder="pico")
     like = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *SERVE_HW, 3)))
@@ -93,7 +95,7 @@ def main(steps: int = 400, promote: bool = False) -> None:
     print("model-only IoU before:", json.dumps(before), flush=True)
 
     params, history = fit(
-        model, hw=SERVE_HW, batch=BATCH, steps=steps, lr=1.5e-4,
+        model, hw=SERVE_HW, batch=BATCH, steps=steps, lr=LR,
         log_every=50, init_params=params, seed=3, data_fn=mixed_fn,
     )
     for rec in history:
@@ -119,7 +121,7 @@ def main(steps: int = 400, promote: bool = False) -> None:
             "tools/parity_matting.py."
         ),
         "checkpoint": NAME, "saved_as": out_name, "steps": steps,
-        "serve_hw": list(SERVE_HW), "real_frac": 0.5,
+        "serve_hw": list(SERVE_HW), "real_frac": REAL_FRAC, "lr": LR,
         "model_only_iou_before": before, "model_only_iou_after": after,
     }
     path = os.path.join(ROOT, "benchmarks", "REALBG_FLAGSHIP.json")
