@@ -75,7 +75,8 @@ if os.environ.get("VST_SMALL"):
     FRAME_HW, MASK_HW, T, T_ORACLE = (240, 320), (96, 128), 8, 4
 else:
     FRAME_HW, MASK_HW, T, T_ORACLE = (720, 1280), (288, 512), 16, 12
-CKPT = os.path.join(ROOT, "checkpoints", "mattenet_hd10_pico")
+CKPT_NAME = os.environ.get("VST_CKPT", "mattenet_hd10_pico")
+CKPT = os.path.join(ROOT, "checkpoints", CKPT_NAME)
 
 
 def realistic_clip(n_frames, hw, seed, bank):
@@ -237,6 +238,7 @@ def main():
             "teacher_box_vs_gt_iou_mean 0.45); face parity is pinned "
             "separately under port_fidelity."
         ),
+        "checkpoint": CKPT_NAME,
         "clips": {"n": len(clips), "frames_per_clip": T,
                   "frame_hw": list(FRAME_HW), "mask_hw": list(MASK_HW),
                   "oracle_frames": T_ORACLE},
@@ -256,7 +258,11 @@ def main():
     path = os.path.join(ROOT, "PARITY.json")
     with open(path) as f:
         parity = json.load(f)
-    parity["matting"] = report
+    # the serving default owns the "matting" key; candidate checkpoints
+    # (VST_CKPT) get their own suffixed section for side-by-side review
+    key = ("matting" if CKPT_NAME == "mattenet_hd10_pico"
+           else f"matting_{CKPT_NAME.replace('mattenet_hd10_', '')}")
+    parity[key] = report
     with open(path, "w") as f:
         json.dump(parity, f, indent=2)
     print(f"wrote matting section -> {path}")
