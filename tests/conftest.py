@@ -25,8 +25,26 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-bound on the 1-core CPU
-# runner; cache compiled executables across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# runner; cache compiled executables across runs.  The dir is keyed by the
+# host's CPU features: XLA:CPU AOT executables are machine-specific, and a
+# cache written by a different host makes every load fail loudly
+# (cpu_aot_loader machine-feature-mismatch spam, seen in the round-3
+# driver environment) before falling back to a recompile.
+import hashlib as _hashlib
+
+
+def _machine_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            key = next(l for l in f if l.startswith("flags"))
+    except Exception:
+        import platform
+
+        key = platform.processor() or platform.machine()
+    return _hashlib.md5(key.encode()).hexdigest()[:8]
+
+
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{_machine_tag()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

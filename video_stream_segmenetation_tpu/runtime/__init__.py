@@ -14,8 +14,13 @@ from video_stream_segmenetation_tpu.runtime.state import (  # noqa: F401
 from video_stream_segmenetation_tpu.runtime.pipeline import (  # noqa: F401
     ModelBundle,
     make_range_step,
+    make_round_step,
     make_step,
     segment_once,
+)
+from video_stream_segmenetation_tpu.runtime.rollout import (  # noqa: F401
+    make_round_rollout,
+    make_step_rollout,
 )
 from video_stream_segmenetation_tpu.runtime.scheduler import StreamScheduler  # noqa: F401
 from video_stream_segmenetation_tpu.runtime.presets import (  # noqa: F401
