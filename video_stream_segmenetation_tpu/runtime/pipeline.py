@@ -946,6 +946,16 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
             "det_score": det_score,
             "face_applied": has_update,
         }
+        if analytic_prior or statics.debug_face_outputs:
+            # intra-step face evidence for the oracle-chain parity harness
+            # (tools/parity_matting.py): the prior used by stages 7/9 is
+            # computed inside the step, so it must ride the outputs to be
+            # observable.  Analytic form: [S,4] + [S] scalars -- free, so
+            # always on; plane form only under debug_face_outputs.
+            key = ("face_prior_params" if analytic_prior
+                   else "face_prior_plane")
+            outputs[key] = prior
+            outputs["face_has_prior"] = has_prior
         return new_state, outputs
 
     return step
@@ -1004,6 +1014,50 @@ def make_range_step(bundle: ModelBundle, statics: PipelineStatics):
         return new_full, new_face_last, out
 
     return range_step
+
+
+def make_round_step(bundle: ModelBundle, statics: PipelineStatics,
+                    group_sizes: "list[int]"):
+    """One FULL rotation round as a single program: every group's ranged
+    step (make_range_step semantics: in-graph slice/scatter over the full
+    donated state, device-resident face gate) unrolled over the
+    schedule's static offsets.
+
+    ``round(params, full_state, frames_list, full_bgs, full_knobs,
+    face_last, now, min_interval) -> (new_full_state, new_face_last,
+    [outputs per group])``
+
+    Why: dispatching the round as ONE executable lets the device overlap
+    the groups' independent stages — group g+1's matting forward reads
+    only its frames while group g's tail writes disjoint state rows — so
+    a 4x96 round measures ~25 ms on v5e where per-group dispatch rounds
+    measure ~32 (tools/bench_rollout_ablate.py, 2026-08-20), and the
+    host pays ONE dispatch per round instead of one per group (the
+    difference between a 33 ms and a ~60+ ms round on a tunneled
+    transport).  Semantics note: the whole round shares one staged-knob
+    snapshot and one ``now`` — per-round rather than per-tick
+    granularity for knob application and the face min-interval clock
+    (the reference applies config at frame granularity, script.ts:20-25;
+    a round IS the frame interval here).
+    """
+    import numpy as _np
+
+    rstep = make_range_step(bundle, statics)
+    offs = _np.concatenate([[0], _np.cumsum(group_sizes)]).astype(int)
+
+    def round_step(params, full_state, frames_list, full_bgs, full_knobs,
+                   face_last, now, min_interval):
+        outs = []
+        for g, gs in enumerate(group_sizes):
+            full_state, face_last, out = rstep(
+                params, full_state, int(offs[g]), frames_list[g],
+                full_bgs, full_knobs, face_last, now, min_interval,
+                gs=int(gs),
+            )
+            outs.append(out)
+        return full_state, face_last, outs
+
+    return round_step
 
 
 def segment_once(bundle: ModelBundle, statics: PipelineStatics):

@@ -39,6 +39,7 @@ class StreamScheduler:
         groups: int = 1,
         group_sizes: "list[int] | None" = None,
         frame_source: "Callable[[int, int], object] | None" = None,
+        fused_rounds: bool = False,
     ):
         """groups > 1 = latency mode: each tick serves ONE group of
         S/groups streams round-robin at ``groups * tick_hz`` ticks/s, so
@@ -59,7 +60,16 @@ class StreamScheduler:
         frames are already device-resident (on-device decode DMA) and
         for capacity benches that must not measure host staging.  The
         returned value is fed to the engine step as-is (natural, packed,
-        or (packed, lanes))."""
+        or (packed, lanes)).
+
+        ``fused_rounds``: dispatch each full rotation round as ONE
+        jitted program (Engine.dispatch_round) instead of one dispatch
+        per group -- the device overlaps the groups' independent stages
+        (4x96: ~25 ms vs ~32 per-group, benchmarks/RESULTS.md round 4)
+        and the per-tick host/transport overhead is paid once per frame
+        interval.  Results still arrive one round late (double
+        buffering); knobs and the face min-interval clock advance per
+        round instead of per tick."""
         self.engine = engine
         self.frame_source = frame_source
         if group_sizes is not None:
@@ -81,6 +91,7 @@ class StreamScheduler:
             offs = [i * gs for i in range(groups + 1)]
         self.groups = groups
         self.group_offsets = offs
+        self.fused_rounds = fused_rounds
         self.tick_s = 1.0 / (tick_hz * groups)
         fh, fw = engine.statics.frame_hw
         self.pool = None
@@ -253,11 +264,44 @@ class StreamScheduler:
             self.on_batch(out, prev.get("ids"))
         return out
 
+    def step_round(self) -> "list[dict] | None":
+        """Fused-round tick: assemble EVERY group's frames, dispatch the
+        whole rotation round as one program (Engine.dispatch_round),
+        then collect the PREVIOUS round's per-group results (None on the
+        priming round)."""
+        frames_list, ids_list = [], []
+        sizes = []
+        for g in range(self.groups):
+            i0, i1 = self.group_offsets[g], self.group_offsets[g + 1]
+            fb, ids = self._group_frames(i0, i1, copy=True)
+            frames_list.append(fb)
+            ids_list.append(ids)
+            sizes.append(i1 - i0)
+        token = self.engine.dispatch_round(sizes, frames_list)
+        token["ids"] = ids_list
+        prev, self._inflight = self._inflight, token
+        self.ticks += self.groups
+        if prev is None:
+            return None
+        outs = self.engine.collect_round(prev)
+        if self.on_batch is not None:
+            pids = prev.get("ids") or [None] * len(outs)
+            for r, ids in zip(outs, pids):
+                self.on_batch(r, ids)
+        return outs
+
     def drain(self) -> dict | None:
         """Collect the in-flight step, if any (end-of-loop flush)."""
         token, self._inflight = self._inflight, None
         if token is None:
             return None
+        if token.get("round"):
+            outs = self.engine.collect_round(token)
+            if self.on_batch is not None:
+                pids = token.get("ids") or [None] * len(outs)
+                for r, ids in zip(outs, pids):
+                    self.on_batch(r, ids)
+            return outs[-1] if outs else None
         out = self.engine.collect(token)
         if self.on_batch is not None:
             self.on_batch(out, token.get("ids"))
@@ -278,10 +322,13 @@ class StreamScheduler:
         round_s = self.tick_s * self.groups  # = 1 / tick_hz
         next_round = time.monotonic()
         while self._running:
-            for _ in range(self.groups):
-                if not self._running:
-                    break
-                self.step_pipelined()
+            if self.fused_rounds:
+                self.step_round()
+            else:
+                for _ in range(self.groups):
+                    if not self._running:
+                        break
+                    self.step_pipelined()
             next_round += round_s
             delay = next_round - time.monotonic()
             if delay > 0:

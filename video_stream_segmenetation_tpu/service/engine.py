@@ -280,9 +280,23 @@ class Engine:
             donate_argnums=self._donate,
             static_argnames=("gs",),
         )
+        # fused-round programs, cached per schedule (built on demand)
+        self._round_steps = {}
         # param loaders rebuild the bundle: re-place it on the mesh
         if self.mesh is not None and hasattr(self, "state"):
             self._place_on_mesh()
+
+    def _round_step_for(self, group_sizes):
+        key = tuple(int(g) for g in group_sizes)
+        rs = self._round_steps.get(key)
+        if rs is None:
+            rs = jax.jit(
+                runtime.make_round_step(self.bundle, self.statics,
+                                        list(key)),
+                donate_argnums=self._donate,
+            )
+            self._round_steps[key] = rs
+        return rs
 
     def _default_bundle(self, seed: int) -> runtime.ModelBundle:
         """Build the default model bundle with params initialized ON THE
@@ -591,13 +605,25 @@ class Engine:
                 k: jnp.asarray(v) for k, v in kw.items()
             })
 
-    def _ingest(self, frames):
+    def _ingest(self, frames, rows: int | None = None):
         """Normalize step input.  Returns (frames_in, step_frames):
         frames_in is the array used for passthrough output; step_frames is
         what the jitted step consumes -- a (packed, guide_lanes) tuple when
         guide_source='host' (lanes from the native framebuf pack pass, or
-        gathered on device here for convenience callers)."""
-        put = self._stream_put if self.mesh is not None else (lambda x: x)
+        gathered on device here for convenience callers).
+
+        ``rows``: the batch's stream-row count when it is a GROUP rather
+        than the full stream set (ranged serving).  A group need not be
+        divisible by the mesh's data axis (4x96+16 on an 8-way mesh), so
+        group batches are left uncommitted and the jitted range step's
+        sharding propagation places them; only full batches get the
+        explicit stream sharding."""
+        full = rows is None or rows == self.num_streams
+        put = (
+            self._stream_put
+            if (self.mesh is not None and full)
+            else (lambda x: x)
+        )
         if isinstance(frames, tuple):
             packed = put(jnp.asarray(frames[0], dtype=jnp.uint8))
             lanes = put(jnp.asarray(frames[1], dtype=jnp.uint8))
@@ -955,7 +981,7 @@ class Engine:
         t0 = time.perf_counter()
         self._apply_staged()
         now = time.monotonic()
-        frames_in, frames_j = self._ingest(frames)
+        frames_in, frames_j = self._ingest(frames, rows=i1 - i0)
         token = {"t0": t0, "now": now, "frames_in": frames_in,
                  "slots": (i0, i1)}
         if (
@@ -1030,6 +1056,106 @@ class Engine:
             "metrics": self.stats(),
         }
 
+    def dispatch_round(self, group_sizes, frames_list) -> dict:
+        """Launch one FULL rotation round (every group stepped once) as
+        ONE jitted dispatch (runtime.make_round_step) -- the fused form
+        of ``dispatch_range`` called per group.  Two wins, measured
+        (benchmarks/RESULTS.md round 4): the device overlaps the groups'
+        independent stages (a 4x96 round runs ~25 ms vs ~32 dispatched
+        per group), and the host pays one dispatch per frame interval
+        instead of one per group.  Knob staging and the face
+        min-interval clock advance per ROUND (= per frame interval).
+        Pair with :meth:`collect_round`."""
+        t0 = time.perf_counter()
+        self._apply_staged()
+        now = time.monotonic()
+        ins = [
+            self._ingest(f, rows=g)
+            for f, g in zip(frames_list, group_sizes)
+        ]
+        token = {
+            "t0": t0, "now": now, "round": True,
+            "frames_in": [i[0] for i in ins],
+            "group_sizes": [int(g) for g in group_sizes],
+        }
+        if (
+            self.health.state is EngineHealth.DEGRADED
+            and not self.health.should_probe
+        ):
+            token["degraded"] = True
+            return token
+        self._maybe_snapshot()
+        try:
+            t1 = time.perf_counter()
+            prev_state = None if self._donate else self.state
+            new_full, new_last, outs = self._round_step_for(group_sizes)(
+                self.bundle.params, self.state, [i[1] for i in ins],
+                self.backgrounds, self.knobs, self._face_mirror(),
+                self._now_device(now), self._min_interval_device(),
+            )
+            self.state = new_full
+            self._face_last_dev = new_last
+            token.update(outs=outs, t1=t1, prev_state=prev_state)
+        except Exception as e:  # trace/dispatch-time failure
+            self.health.record_failure(e)
+            token["failed"] = True
+        return token
+
+    def collect_round(self, token: dict) -> "list[dict]":
+        """Wait for a dispatched round; returns one result dict per group
+        (the shape :meth:`collect_range` returns).  On an async device
+        failure the whole round's state is poisoned: roll back
+        (undonated) or restore the snapshot (donated), and return every
+        group's input frames as passthrough."""
+        gs = token["group_sizes"]
+        offs = np.concatenate([[0], np.cumsum(gs)]).astype(int)
+        t0 = token["t0"]
+        results: list[dict] = []
+        if "outs" in token:
+            try:
+                outs = token["outs"]
+                if self._collect_sync:
+                    jax.block_until_ready(outs[-1]["frame"])
+                for g, out in enumerate(outs):
+                    of = out["frame"]
+                    if self._unpack_frames is not None and of.shape[-1] != 3:
+                        of = self._unpack_frames(of)
+                    results.append({
+                        "frame": of, "alpha": out["alpha"],
+                        "slots": (int(offs[g]), int(offs[g + 1])),
+                    })
+                self.health.record_success()
+                t1 = token["t1"]
+            except Exception as e:  # async execution failure
+                self.health.record_failure(e)
+                if token.get("prev_state") is not None:
+                    self.state = token["prev_state"]
+                else:
+                    self._recover_state()
+                self._face_last_dev = None
+                results, t1 = [], t0
+        else:
+            t1 = t0
+        if not results:  # degraded / failed: passthrough per group
+            results = [
+                {
+                    "frame": token["frames_in"][g],
+                    "alpha": jnp.ones(
+                        (gs[g], *self.statics.mask_hw), jnp.float32
+                    ),
+                    "slots": (int(offs[g]), int(offs[g + 1])),
+                }
+                for g in range(len(gs))
+            ]
+        t2 = time.perf_counter()
+        self.counters.record_step(
+            int(sum(gs)), (t2 - t1) * 1e3, (t2 - t0) * 1e3
+        )
+        stats = self.stats()
+        for r in results:
+            r["metrics"] = stats
+        return results
+
     def process_group(self, group: int, num_groups: int, frames: np.ndarray) -> dict:
         """Latency-mode step: process only stream group ``group`` (rows
         ``[g*S/G, (g+1)*S/G)``), leaving other groups' state untouched.
@@ -1061,7 +1187,7 @@ class Engine:
         gate = jnp.asarray(
             (now - self._last_face_at[i0:i1]) >= self.face_min_interval_s
         )
-        frames_in, frames_j = self._ingest(frames)
+        frames_in, frames_j = self._ingest(frames, rows=i1 - i0)
 
         rows = lambda tree: jax.tree_util.tree_map(lambda x: x[i0:i1], tree)
         degraded = (
