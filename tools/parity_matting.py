@@ -1,8 +1,8 @@
 """Flagship matting parity -- the BASELINE ">= 0.99 mask IoU vs reference
 model" metric, closed as far as this environment permits (VERDICT r2 #3).
 
-ACQUISITION RECORD (dated 2026-08-19)
--------------------------------------
+ACQUISITION RECORD (dated 2026-08-19, re-verified 2026-08-20)
+-------------------------------------------------------------
 The reference serves `client/src/assets/model_q4f16.onnx`
 (client/src/core/main.ts:6) but does NOT commit it: only the face ONNX
 graphs ship (`client/src/assets/`: MediaPipeFaceDetector.onnx,
@@ -20,8 +20,10 @@ the loop with zero code changes the day weights (or exported masks,
 
 STRONGEST AVAILABLE SUBSTITUTE (measured by this tool)
 ------------------------------------------------------
-Three agreement numbers on realistic clips -- procedural people moving
-over the reference repo's own committed real photographs
+Agreement numbers on realistic clips -- ARTICULATED procedural people
+(train/person.py: capsule skeleton, hair fringe, clothing texture,
+occluders, camera shake; utils/clips.py::articulated_clip) moving over
+the reference repo's own committed real photographs
 (client/src/assets/backgrounds/, train/realdata.py):
 
 1. int8_vs_float_pipeline: the int8 fast-stack serving pipeline (the
@@ -35,15 +37,19 @@ over the reference repo's own committed real photographs
    formulas (tests/oracles.py, file:line-cited), fed the same model
    alpha -- end-to-end stage-semantics parity on moving video rather
    than single-op unit fixtures (stage order per
-   frameProcessorTest.ts: warp/blend -> EMA :218-227 -> opening
-   :644-685 -> prior closing :743-787 -> joint bilateral :230-266 ->
-   threshold/gamma :270-313).
+   frameProcessorTest.ts: warp/blend :102-112 -> EMA :218-227 ->
+   opening :644-685 -> prior closing :743-787 -> joint bilateral
+   :230-266 -> threshold/gamma :270-313).  Run twice: without the face
+   path, and WITH it on a clip whose synthetic face the trained
+   detector fires on -- the warp + face-prior stages are then pinned on
+   moving video using the engine's own captured per-frame face evidence
+   (affine state + analytic prior params).
 3. iou_vs_ground_truth for both pipelines (the quality floor; the
    held-out headline lives in benchmarks/RESULTS.json).
 
 Writes the 'matting' section of PARITY.json.
 
-Run: python tools/parity_matting.py            (CPU, ~5-10 min)
+Run: python tools/parity_matting.py            (CPU, ~20-40 min)
      JAX_PLATFORMS= VST_TPU=1 python tools/parity_matting.py  (real chip)
 """
 
@@ -74,61 +80,87 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if os.environ.get("VST_SMALL"):
     FRAME_HW, MASK_HW, T, T_ORACLE = (240, 320), (96, 128), 8, 4
 else:
-    FRAME_HW, MASK_HW, T, T_ORACLE = (720, 1280), (288, 512), 16, 12
+    FRAME_HW, MASK_HW, T, T_ORACLE = (720, 1280), (288, 512), 32, 12
 CKPT_NAME = os.environ.get("VST_CKPT", "mattenet_hd10_pico")
 CKPT = os.path.join(ROOT, "checkpoints", CKPT_NAME)
 
 
-def realistic_clip(n_frames, hw, seed, bank):
-    """SyntheticClip-style moving person over a REAL photograph
-    (the reference repo's committed backgrounds)."""
-    from video_stream_segmenetation_tpu.utils.clips import SyntheticClip
-
-    h, w = hw
-    rng = np.random.default_rng(seed)
-    bg = bank[seed % len(bank)]
-    y0 = rng.integers(0, bg.shape[0] - h + 1)
-    x0 = rng.integers(0, bg.shape[1] - w + 1)
-    bg = bg[y0 : y0 + h, x0 : x0 + w] * 255.0
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    frames = np.zeros((n_frames, h, w, 3), np.uint8)
-    alphas = np.zeros((n_frames, h, w), np.float32)
-    cx0, cy0 = w * 0.5, h * 0.62
-    rx, ry = w * 0.18, h * 0.42
-    tex = (rng.random((h, w, 3)) * 40).astype(np.float32)
-    for t in range(n_frames):
-        cx = cx0 + 9.0 * np.sin(t * 0.21)
-        cy = cy0 + 4.5 * np.cos(t * 0.17)
-        d = np.sqrt(((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2)
-        a = np.clip((1.05 - d) / 0.1, 0.0, 1.0)
-        person = np.array([165.0, 125.0, 105.0]) + tex
-        frame = person * a[..., None] + bg * (1 - a[..., None])
-        noise = rng.normal(0, 4.0, (h, w, 3))
-        frames[t] = np.clip(frame + noise, 0, 255).astype(np.uint8)
-        alphas[t] = a
-    return SyntheticClip(frames=frames, alpha=alphas)
-
-
-def build_engine(**overrides):
+def build_engine(face: bool = False, **overrides):
     from video_stream_segmenetation_tpu.runtime.presets import preset
     from video_stream_segmenetation_tpu.service import Engine
 
     statics = dataclasses.replace(
         preset("fast_int8_pico"),
-        frame_hw=FRAME_HW, mask_hw=MASK_HW, fd_size=64, lmk_size=48,
-        background="color", face_path=False, **overrides,
+        frame_hw=FRAME_HW, mask_hw=MASK_HW, background="color",
+        face_path=face,
+        fd_size=256 if face else 64, lmk_size=192 if face else 48,
+        **overrides,
     )
     eng = Engine(num_streams=1, statics=statics, donate_state=False)
     eng.load_matting_params(CKPT)
+    if face:
+        eng.load_face_params(
+            os.path.join(ROOT, "checkpoints", "facefinder"),
+            os.path.join(ROOT, "checkpoints", "landmarknet"),
+        )
     eng.admit()
     return eng
 
 
-def oracle_chain(model_masks, frames):
+def run_with_capture(eng, clip):
+    """Feed a clip through stream 0, capturing per-frame the face
+    evidence the refine chain consumed: the PRE-step affine state (what
+    stage 3 warps with) and the intra-step analytic prior params
+    (pipeline outputs face_prior_params/face_has_prior)."""
+    fh, fw = eng.statics.frame_hw
+    batch = np.zeros((eng.num_streams, fh, fw, 3), np.uint8)
+    masks, caps = [], []
+    for t in range(len(clip.frames)):
+        pre = {
+            "affine": np.asarray(eng.state.affine)[0].astype(np.float64),
+            "has_affine": bool(np.asarray(eng.state.has_affine)[0])
+            and bool(np.asarray(eng.state.initialized)[0]),
+        }
+        batch[0] = clip.frames[t]
+        out = eng.process(batch)
+        masks.append(np.asarray(out["alpha"])[0])
+        if "face_prior_params" in out:
+            pre["prior"] = np.asarray(out["face_prior_params"])[0]
+            pre["has_prior"] = bool(np.asarray(out["face_has_prior"])[0])
+        elif "face_prior_plane" in out:
+            # XLA-chain engines carry the rendered plane (the analytic
+            # params only exist on the fused-kernel path); rasterization
+            # itself is pinned at unit level (tests/test_ops_refinement)
+            pre["prior_plane"] = np.asarray(out["face_prior_plane"])[0]
+            pre["has_prior"] = bool(np.asarray(out["face_has_prior"])[0])
+        # post-step affine state: True once any detection was ever applied
+        pre["face_applied"] = bool(np.asarray(eng.state.has_affine)[0])
+        pre["det_score"] = float(np.asarray(out["det_score"])[0])
+        caps.append(pre)
+    return np.stack(masks), caps
+
+
+def prior_mask_oracle(params4):
+    """Rasterize the reference prior from the engine's analytic params
+    by inverting ops.face_prior_params (face coords == mask coords for
+    face_input='guide', so the box->prior conversion is identity-scaled)
+    and feeding the box to the literal oracle."""
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    import oracles
+
+    cx, cy, rx, ry = [float(v) for v in params4]
+    box = (cx - rx / 1.12, cy - ry / 1.4, cx + rx / 1.12, cy + ry / 1.4)
+    mh, mw = MASK_HW
+    return oracles.face_prior_oracle(box, mw, mh, mw, mh)
+
+
+def oracle_chain(model_masks, frames, caps=None, warp_w=0.5):
     """The reference's refine chain as the literal per-pixel oracle port
-    (tests/oracles.py), at default knob values -- no face prior (the
-    procedural people have no real faces for the real-weight detector;
-    face-model parity is pinned separately in PARITY.json)."""
+    (tests/oracles.py), at default knob values.  With ``caps`` (the
+    engine's captured per-frame face evidence) the warp/blend stage and
+    the face-prior closing/clamps run too -- the full stage 3..9 chain
+    on moving video; without it the no-face subset (stage 3 idle, prior
+    None), matching a face_path=False engine."""
     sys.path.insert(0, os.path.join(ROOT, "tests"))
     import oracles
 
@@ -138,10 +170,24 @@ def oracle_chain(model_masks, frames):
     prev = None
     for t in range(len(model_masks)):
         a = model_masks[t].astype(np.float64)
-        # stage 3 warp/blend: no affine without the face path -> skip
+        prior = None
+        if caps is not None:
+            c = caps[t]
+            # stage 3 warp/blend (:102-112): warp prev by the pre-step
+            # affine, mix-blend into the raw alpha
+            if c["has_affine"] and prev is not None:
+                warped = oracles.warp_affine_nearest_oracle(
+                    prev, tuple(c["affine"])
+                )
+                a = warped * warp_w + a * (1.0 - warp_w)
+            if c.get("has_prior"):
+                prior = (
+                    prior_mask_oracle(c["prior"]) if "prior" in c
+                    else c["prior_plane"].astype(np.float64)
+                )
         prev, a = oracles.ema_oracle(prev, a, cfg.DEFAULT_EMA)
         a = oracles.opening_oracle(a)
-        a = oracles.closing_in_prior_oracle(a, None)
+        a = oracles.closing_in_prior_oracle(a, prior)
         guide = np.floor(
             oracles.resize_bilinear_tfjs_oracle(
                 frames[t].astype(np.float64), *MASK_HW
@@ -154,7 +200,7 @@ def oracle_chain(model_masks, frames):
         )
         a = oracles.refine_oracle(
             a, cfg.DEFAULT_NOISE_CUTOFF, cfg.DEFAULT_HIGH_THRESHOLD,
-            cfg.DEFAULT_GAMMA, None,
+            cfg.DEFAULT_GAMMA, prior,
         )
         out[t] = a
     return out
@@ -166,12 +212,26 @@ def main():
         load_background_bank,
     )
     from video_stream_segmenetation_tpu.utils.clips import (
+        articulated_clip,
         parity_report,
         run_clip_through_engine,
     )
 
     bank = load_background_bank(FRAME_HW, max_images=8, oversample=2)
-    clips = [realistic_clip(T, FRAME_HW, s, bank) for s in range(2)]
+    # articulated people over the reference's real photos: a desk-
+    # occluded clip, a waving clip (fast limb motion), a plain one, and
+    # a face-featured waving clip for the face-path oracle run
+    clips = [
+        articulated_clip(T, FRAME_HW, seed=0, bank=bank, occluder_p=1.0),
+        articulated_clip(T, FRAME_HW, seed=1, bank=bank, wave=True,
+                         shake_px=3.0, occluder_p=0.0),
+        articulated_clip(T, FRAME_HW, seed=2, bank=bank, occluder_p=1.0,
+                         motion=1.5),
+    ]
+    face_clip = articulated_clip(
+        T, FRAME_HW, seed=3, bank=bank, features=True, wave=True,
+        occluder_p=0.0, shake_px=1.5,
+    )
 
     print("serving pipelines...", flush=True)
     import faulthandler, time as _t
@@ -188,6 +248,9 @@ def main():
         matting_precision="bf16", debug_stage="model_only"
     )
     print(f"engine model_only built {_t.perf_counter()-t0:.0f}s", flush=True)
+    # the dump was added to locate engine-build stalls; cancel it so the
+    # long eval phase doesn't spam full-process stacks every 5 minutes
+    faulthandler.cancel_dump_traceback_later()
 
     import jax.numpy as jnp
 
@@ -208,12 +271,36 @@ def main():
             # one clip's first T_ORACLE frames pin the chain semantics
             # (EMA is stateful, so the prefix must be contiguous)
             mm = run_clip_through_engine(eng_model, c)
-            print("oracle chain...", flush=True)
+            print("oracle chain (no face)...", flush=True)
             m_oracle.append(oracle_chain(mm[:T_ORACLE], c.frames[:T_ORACLE]))
             m_f_oracle_frames.append(mf[:T_ORACLE])
     cat = lambda xs: np.concatenate(xs, axis=0)
     m_i8, m_f, gt = cat(m_i8), cat(m_f), cat(gt)
     m_oracle, m_f_or = cat(m_oracle), cat(m_f_oracle_frames)
+
+    # ---- face-path run: engine face evidence drives the oracle chain --
+    print("face-path engines...", flush=True)
+    eng_face = build_engine(
+        face=True, matting_precision="bf16", debug_face_outputs=True
+    )
+    eng_face_model = build_engine(
+        face=True, matting_precision="bf16", debug_stage="model_only"
+    )
+    eng_face_i8 = build_engine(face=True)
+    mfc, caps = run_with_capture(eng_face, face_clip)
+    mfc_i8, _ = run_with_capture(eng_face_i8, face_clip)
+    mmc, _ = run_with_capture(eng_face_model, face_clip)
+    fired = sum(1 for c in caps if c.get("has_prior"))
+    applied = sum(1 for c in caps if c["face_applied"])
+    warp_w = eng_face.statics.warp_blend_weight
+    print(f"face clip: prior fired {fired}/{len(caps)} frames, "
+          f"affine applied {applied}", flush=True)
+    print("oracle chain (face)...", flush=True)
+    m_oracle_face = oracle_chain(
+        mmc[:T_ORACLE], face_clip.frames[:T_ORACLE], caps=caps[:T_ORACLE],
+        warp_w=warp_w,
+    )
+    gt_face = np.asarray(downs(jnp.asarray(face_clip.alpha)))
 
     report = {
         "_acquisition_record": (
@@ -227,27 +314,42 @@ def main():
             "with zero code changes."
         ),
         "_method": (
-            "strongest available substitute on realistic clips (procedural "
-            "people over the reference's committed real photographs): "
-            "int8 fast-stack pipeline vs float pipeline of the same "
-            "trained flagship (the q4f16 serving relationship), and the "
-            "engine chain vs the literal per-pixel oracle port of the "
-            "reference formulas (tests/oracles.py) fed the same model "
-            "alpha. Face prior off: the real-weight detector does not "
-            "fire on procedural people (PARITY.json "
-            "teacher_box_vs_gt_iou_mean 0.45); face parity is pinned "
-            "separately under port_fidelity."
+            "strongest available substitute on realistic clips: "
+            "ARTICULATED procedural people (capsule skeleton, hair "
+            "fringe, clothing texture, occluders, camera shake) over the "
+            "reference's committed real photographs. int8 fast-stack "
+            "pipeline vs float pipeline of the same trained flagship "
+            "(the q4f16 serving relationship); engine chain vs the "
+            "literal per-pixel oracle port of the reference formulas "
+            "(tests/oracles.py) fed the same model alpha -- run without "
+            "the face path AND with it (captured per-frame affine state "
+            "+ analytic prior params drive the oracle's warp/prior "
+            "stages; the trained FaceFinder fires on the clip's "
+            "synthetic face)."
         ),
         "checkpoint": CKPT_NAME,
-        "clips": {"n": len(clips), "frames_per_clip": T,
+        "device": str(jax.devices()[0]),
+        "clips": {"n": len(clips) + 1, "frames_per_clip": T,
                   "frame_hw": list(FRAME_HW), "mask_hw": list(MASK_HW),
                   "oracle_frames": T_ORACLE},
-        "int8_vs_float_pipeline": parity_report(m_i8, m_f),
+        "int8_vs_float_pipeline": parity_report(
+            np.concatenate([m_i8, mfc_i8]), np.concatenate([m_f, mfc])
+        ),
         "engine_vs_reference_semantics_oracle": parity_report(
             m_f_or, m_oracle
         ),
-        "int8_pipeline_vs_gt": parity_report(m_i8, gt),
-        "float_pipeline_vs_gt": parity_report(m_f, gt),
+        "engine_vs_oracle_face_path": {
+            **parity_report(mfc[:T_ORACLE], m_oracle_face),
+            "prior_fired_frames": fired,
+            "affine_applied_frames": applied,
+        },
+        "int8_pipeline_vs_gt": parity_report(
+            np.concatenate([m_i8, mfc_i8]),
+            np.concatenate([gt, gt_face]),
+        ),
+        "float_pipeline_vs_gt": parity_report(
+            np.concatenate([m_f, mfc]), np.concatenate([gt, gt_face])
+        ),
     }
     print(json.dumps(report, indent=2))
 

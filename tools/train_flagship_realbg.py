@@ -58,8 +58,12 @@ BATCH = 8
 
 def evaluate(model, params, data_fn, hw, n_batches=4, seed=999):
     ious = []
-    eval_fn = jax.jit(lambda fr, gt: iou_metric(
-        model.apply(params, fr)["alpha"], gt
+    # params is a jit ARGUMENT: closing over the ~5 MB tree would make it
+    # a compile-time constant -- recompiled per evaluate() call and
+    # shipped in the HTTP compile payload (the tunnel's 'big jit closure
+    # constants' hazard, CLAUDE.md)
+    eval_fn = jax.jit(lambda p, fr, gt: iou_metric(
+        model.apply(p, fr)["alpha"], gt
     ).mean())
     from video_stream_segmenetation_tpu.ops.resize import resize_bilinear
 
@@ -73,7 +77,7 @@ def evaluate(model, params, data_fn, hw, n_batches=4, seed=999):
         if out_hw != gt.shape[-2:]:
             gt = resize_bilinear(gt, out_hw, method="half_pixel",
                                  channel_last=False)
-        ious.append(float(eval_fn(frames, gt)))
+        ious.append(float(eval_fn(params, frames, gt)))
     return round(float(np.mean(ious)), 4)
 
 
@@ -81,7 +85,11 @@ def main(steps: int = 400, promote: bool = False) -> None:
     # u8 bank: the one-time device upload rides the ~1 MB/s tunnel
     bank = load_background_bank(SERVE_HW, oversample=1.5, as_uint8=True)
     print(f"bank: {bank.shape} uint8 ({bank.nbytes >> 20} MB)", flush=True)
-    real_fn = make_real_bg_data_fn(bank)
+    # articulated people over real photos: the train side of the shared
+    # train/eval person distribution (train/person.py; the realistic-clip
+    # parity harness evals the same skeleton, utils/clips.py)
+    real_fn = make_real_bg_data_fn(bank, person="articulated")
+    real_fn_ellipse = make_real_bg_data_fn(bank)
     mixed_fn = make_mixed_data_fn(real_fn, real_frac=REAL_FRAC)
 
     model = models.MatteNetHD(stem_stride=10, head_upsample=4, decoder="pico")
@@ -90,7 +98,8 @@ def main(steps: int = 400, promote: bool = False) -> None:
 
     before = {
         "synthetic": evaluate(model, params, synthetic_matting_batch, SERVE_HW),
-        "realbg": evaluate(model, params, real_fn, SERVE_HW),
+        "realbg_articulated": evaluate(model, params, real_fn, SERVE_HW),
+        "realbg_ellipse": evaluate(model, params, real_fn_ellipse, SERVE_HW),
     }
     print("model-only IoU before:", json.dumps(before), flush=True)
 
@@ -103,7 +112,8 @@ def main(steps: int = 400, promote: bool = False) -> None:
 
     after = {
         "synthetic": evaluate(model, params, synthetic_matting_batch, SERVE_HW),
-        "realbg": evaluate(model, params, real_fn, SERVE_HW),
+        "realbg_articulated": evaluate(model, params, real_fn, SERVE_HW),
+        "realbg_ellipse": evaluate(model, params, real_fn_ellipse, SERVE_HW),
     }
     print("model-only IoU after:", json.dumps(after), flush=True)
 

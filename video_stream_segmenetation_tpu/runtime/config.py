@@ -133,6 +133,11 @@ class PipelineStatics:
     # Pallas fused stencil chain: True / False / 'auto' (= on TPU only;
     # elsewhere the XLA chain runs -- the pallas interpreter is too slow)
     use_fused_refine: Any = "auto"
+    # export per-frame face evidence (prior + has_prior) in the step
+    # outputs regardless of prior form -- the oracle-chain parity harness
+    # (tools/parity_matting.py) replays stages 3..9 with it.  Off in
+    # serving: the plane form would ship an [S,mh,mw] extra output.
+    debug_face_outputs: bool = False
     # face-prior lowering on the fused temporal+refine path: 'auto' =
     # analytic (the soft ellipse is rasterized in VMEM from 4 scalars,
     # ops/prior.py::face_prior_params -- the [S,mh,mw] f32 plane never

@@ -63,6 +63,8 @@ def load_background_bank(
     Raises FileNotFoundError when no photos are available."""
     from PIL import Image
 
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
     if not os.path.isdir(directory):
         raise FileNotFoundError(directory)
     names = sorted(
@@ -84,13 +86,56 @@ def load_background_bank(
     return bank
 
 
-def make_real_bg_data_fn(bank: np.ndarray, device_bank=None):
+def make_real_bg_data_fn(bank: np.ndarray, device_bank=None,
+                         person: str = "ellipse"):
     """data_fn(key, batch, hw) compositing procedural people over
     augmented random crops of the real-photo bank (train/loop.py::fit
     hook).  The bank rides to the device ONCE (host->device here is
-    ~1 MB/s; per-batch uploads would dominate)."""
+    ~1 MB/s; per-batch uploads would dominate).
+
+    ``person='articulated'`` uses the capsule-skeleton human
+    (train/person.py: hair fringe, clothing texture, limbs, occluders) --
+    the train side of the shared train/eval person distribution the
+    realistic-clip parity harness measures against (VERDICT r3 #2/#3);
+    'ellipse' keeps the legacy two-ellipse foreground."""
     bank_j = jnp.asarray(bank) if device_bank is None else device_bank
     n, bh, bw, _ = bank_j.shape
+
+    def crop_bg(ks, batch, hw):
+        h, w = hw
+        idx = jax.random.randint(ks[0], (batch,), 0, n)
+        # random crop window (scale 1x..bank/target, resized taps);
+        # float division: the int floor collapsed fractional oversample
+        scale = jax.random.uniform(ks[1], (batch,), minval=1.0, maxval=bh / h)
+        y0 = jax.random.uniform(ks[2], (batch,)) * (bh - scale * h)
+        x0 = jax.random.uniform(ks[3], (batch,)) * (bw - scale * w)
+        yy = jnp.arange(h, dtype=jnp.float32)[None, :]
+        xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+        ys = jnp.clip((y0[:, None] + yy * scale[:, None]).astype(jnp.int32), 0, bh - 1)
+        xs = jnp.clip((x0[:, None] + xx * scale[:, None]).astype(jnp.int32), 0, bw - 1)
+        imgs = bank_j[idx]  # [B, bh, bw, 3]
+        rows = jnp.take_along_axis(imgs, ys[:, :, None, None], axis=1)
+        bg = jnp.take_along_axis(rows, xs[:, None, :, None], axis=2)
+        if bg.dtype == jnp.uint8:  # u8 bank: unit-convert the crop only
+            bg = bg.astype(jnp.float32) / 255.0
+        flip = jax.random.bernoulli(ks[4], 0.5, (batch,))
+        bg = jnp.where(flip[:, None, None, None], bg[:, :, ::-1, :], bg)
+        gain = jax.random.uniform(ks[5], (batch, 1, 1, 3), minval=0.7, maxval=1.2)
+        return jnp.clip(bg * gain, 0.0, 1.0)
+
+    if person == "articulated":
+        from video_stream_segmenetation_tpu.train.person import person_scene
+
+        def articulated_fn(key, batch: int, hw: tuple[int, int]):
+            ks = jax.random.split(key, 7)
+            bg = crop_bg(ks, batch, hw)
+            frame, gt, _ = person_scene(
+                ks[6], batch, hw, bg,
+                features=True, occluder_p=0.3,
+            )
+            return frame, gt
+
+        return articulated_fn
 
     def data_fn(key, batch: int, hw: tuple[int, int]):
         h, w = hw
@@ -99,7 +144,10 @@ def make_real_bg_data_fn(bank: np.ndarray, device_bank=None):
 
         idx = jax.random.randint(ks[1], (batch,), 0, n)
         # random crop window (scale 1x..2x of target, then resized taps)
-        scale = jax.random.uniform(ks[2], (batch,), minval=1.0, maxval=float(bh // h))
+        # scale 1x..(bank/target): float division -- the int floor made a
+        # fractional oversample (e.g. 1.5) silently collapse the scale
+        # augmentation to the constant 1.0
+        scale = jax.random.uniform(ks[2], (batch,), minval=1.0, maxval=bh / h)
         y0 = jax.random.uniform(ks[3], (batch,)) * (bh - scale * h)
         x0 = jax.random.uniform(ks[4], (batch,)) * (bw - scale * w)
 
@@ -143,6 +191,10 @@ def make_mixed_data_fn(real_fn, real_frac: float = 0.5):
     from .loop import synthetic_matting_batch
 
     def data_fn(key, batch: int, hw: tuple[int, int]):
+        if batch < 2:
+            # both halves must be represented; a batch of 1 cannot mix --
+            # fall back to the real-bg source alone
+            return real_fn(key, batch, hw)
         b_real = max(1, min(batch - 1, int(round(batch * real_frac))))
         k1, k2 = jax.random.split(key)
         fr_r, a_r = real_fn(k1, b_real, hw)
