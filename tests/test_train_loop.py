@@ -88,3 +88,20 @@ def test_real_bg_uint8_bank_and_mixed_fn():
     mixed_all = realdata.make_mixed_data_fn(fn, real_frac=1.0)
     frames, _ = mixed_all(jax.random.PRNGKey(0), 2, (24, 32))
     assert frames.shape[0] == 2
+
+
+def test_fit_steps_per_call_chunked():
+    """steps_per_call rolls (data_fn -> step) into one dispatch via
+    fori_loop; training must still converge and log per chunk."""
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu import models
+    from video_stream_segmenetation_tpu.train.loop import fit
+
+    model = models.MatteNet(width=0.25)
+    params, history = fit(
+        model, hw=(32, 64), batch=4, steps=8, lr=1e-3, steps_per_call=4,
+    )
+    assert len(history) == 2
+    assert all(jnp.isfinite(h["loss"]) for h in history)
+    assert all(0.0 <= h["iou"] <= 1.0 for h in history)

@@ -106,6 +106,7 @@ def main(steps: int = 400, promote: bool = False) -> None:
     params, history = fit(
         model, hw=SERVE_HW, batch=BATCH, steps=steps, lr=LR,
         log_every=50, init_params=params, seed=3, data_fn=mixed_fn,
+        steps_per_call=50,  # dispatch overhead dominates on this host
     )
     for rec in history:
         print(f"[{NAME}/mix] {json.dumps(rec)}", flush=True)

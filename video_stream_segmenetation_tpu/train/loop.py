@@ -72,6 +72,7 @@ def fit(
     log_every: int = 50,
     mesh=None,
     init_params=None,
+    steps_per_call: int = 1,
 ):
     """Train a matting model; returns (params, history).
 
@@ -83,6 +84,14 @@ def fit(
     geometry, but texture/noise frequencies relative to the stem patch
     size do not (a 240x320-trained flagship scores IoU 0.20 at 720p;
     after a short 720p fine-tune, 0.994 -- tools/train_flagship.py).
+
+    ``steps_per_call`` > 1 rolls that many (data_fn -> train step)
+    iterations into ONE jitted dispatch via ``lax.fori_loop`` -- the
+    python loop pays 2 dispatches per step, and on a transport whose
+    per-dispatch cost is large (BENCH r4 diag: 150-500 ms on the driver
+    host) the dispatch overhead, not the chip, bounds training.
+    Requires a jax-traceable ``data_fn`` (all in-repo generators are)
+    and is ignored under ``mesh`` (host-side shard placement).
     """
     data_fn = data_fn or synthetic_matting_batch
     tx = train.make_optimizer(lr)
@@ -109,10 +118,57 @@ def fit(
             )
     else:
         shard = lambda x: x
+    raw_step = step_fn
     step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
     history = []
     t0 = time.perf_counter()
+    if steps_per_call > 1 and mesh is None:
+        from jax import lax
+
+        def multi(state, i0, n):
+            def body(j, carry):
+                st, _ = carry
+                key = jax.random.fold_in(rng, i0 + j + 1)
+                frames, alpha_gt = data_fn(key, batch, hw)
+                st, m = raw_step(st, frames, alpha_gt)
+                return st, m["loss"]
+
+            return lax.fori_loop(
+                0, n, body, (state, jnp.float32(0.0))
+            )
+
+        multi_j = jax.jit(multi, donate_argnums=(0,))
+        eval_fn = jax.jit(
+            lambda p, fr: model.apply(p, fr)["alpha"]
+        )
+        i = 0
+        while i < steps:
+            k = min(steps_per_call, steps - i)
+            state, last_loss = multi_j(state, i, k)
+            i += k
+            # chunk-boundary logging: fresh eval batch, same metric
+            # (fold index offset past the training sequence's keys)
+            key = jax.random.fold_in(rng, steps + i + 1)
+            frames, gt = data_fn(key, batch, hw)
+            out_a = eval_fn(state.params, frames)
+            if out_a.shape[-2:] != gt.shape[-2:]:
+                from video_stream_segmenetation_tpu.ops.resize import (
+                    resize_bilinear,
+                )
+
+                gt = resize_bilinear(
+                    gt, out_a.shape[-2:], method="half_pixel",
+                    channel_last=False,
+                )
+            history.append({
+                "step": i - 1,
+                "loss": float(last_loss),
+                "iou": float(iou_metric(out_a, gt).mean()),
+                "elapsed_s": round(time.perf_counter() - t0, 1),
+            })
+        return state.params, history
+
     for i in range(steps):
         key = jax.random.fold_in(rng, i + 1)
         frames, alpha_gt = data_fn(key, batch, hw)
