@@ -111,15 +111,34 @@ def train_model(name, model, loss_fn, data_fn, steps, lr, sample):
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), opt, loss, metrics
 
-    step = jax.jit(step, donate_argnums=(0, 1))
+    # chunked: roll 200 steps into one dispatch (fori_loop, traced count)
+    # -- the python loop pays one dispatch per step, and per-dispatch
+    # cost on this host is 150-500 ms (BENCH r4 diag), which would bound
+    # training at ~3 steps/s whatever the chip does
+    from jax import lax
+
+    def multi(params, opt, rng0, n):
+        def body(j, c):
+            p, o, rng, _ = c
+            rng, k = jax.random.split(rng)
+            p, o, loss, _m = step(p, o, k)
+            return p, o, rng, loss
+
+        return lax.fori_loop(
+            0, n, body, (params, opt, rng0, jnp.float32(0.0))
+        )
+
+    multi_j = jax.jit(multi, donate_argnums=(0, 1))
     rng = jax.random.PRNGKey(1)
-    for i in range(steps):
-        rng, k = jax.random.split(rng)
-        params, opt, loss, metrics = step(params, opt, k)
-        if i % 200 == 0 or i == steps - 1:
-            m = {k2: round(float(v), 4) for k2, v in metrics.items()}
-            print(f"[{name}] {json.dumps({'step': i, 'loss': round(float(loss), 4), **m})}",
-                  flush=True)
+    i, chunk = 0, 200
+    while i < steps:
+        n = min(chunk, steps - i)
+        params, opt, rng, loss = multi_j(params, opt, rng, n)
+        i += n
+        print(
+            f"[{name}] {json.dumps({'step': i, 'loss': round(float(loss), 4)})}",
+            flush=True,
+        )
     return params
 
 
