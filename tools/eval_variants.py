@@ -46,7 +46,11 @@ CASES = [
     ("flagship_fast_int8_lite", "fast_int8_lite", {}, "mattenet_hd10_lite"),
     ("flagship_fast_int8_micro", "fast_int8_micro", {}, "mattenet_hd10_micro"),
     ("flagship_fast_int8_nano", "fast_int8_nano", {}, "mattenet_hd10_nano"),
-    ("flagship_fast_int8_pico", "fast_int8_pico", {}, "mattenet_hd10_pico"),
+    # VST_CKPT_PICO: evaluate a candidate pico checkpoint (the realbg
+    # fine-tunes) against the same held-out synthetic gate before
+    # promotion (tools/train_flagship_realbg.py)
+    ("flagship_fast_int8_pico", "fast_int8_pico", {},
+     os.environ.get("VST_CKPT_PICO", "mattenet_hd10_pico")),
     ("flagship_fast_int8_femto", "fast_int8_femto", {}, "mattenet_hd10_femto"),
     ("active", "active", {}, "mattenet"),
     ("rvm", "rvm", {}, "rvm"),

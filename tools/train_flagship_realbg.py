@@ -82,8 +82,11 @@ def evaluate(model, params, data_fn, hw, n_batches=4, seed=999):
 
 
 def main(steps: int = 400, promote: bool = False) -> None:
-    # u8 bank: the one-time device upload rides the ~1 MB/s tunnel
-    bank = load_background_bank(SERVE_HW, oversample=1.5, as_uint8=True)
+    # u8 bank: the one-time device upload rides the ~1 MB/s tunnel.
+    # oversample=2 -> crop-scale augmentation spans 1x..2x, matching the
+    # eval clips' crop statistics (a 1.5x bank under-covered zoomed-out
+    # textures and the flagship hallucinated wood grain as foreground)
+    bank = load_background_bank(SERVE_HW, oversample=2.0, as_uint8=True)
     print(f"bank: {bank.shape} uint8 ({bank.nbytes >> 20} MB)", flush=True)
     # articulated people over real photos: the train side of the shared
     # train/eval person distribution (train/person.py; the realistic-clip

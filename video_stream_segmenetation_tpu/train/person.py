@@ -94,24 +94,40 @@ def sample_identity(key, batch: int) -> dict:
 
 def sample_pose(key, batch: int, hw) -> dict:
     """Random single-frame pose (training); clips build smooth
-    trajectories of the same fields (utils/clips.py)."""
+    trajectories of the same fields (utils/clips.py).
+
+    Arm angles are a mixture: mostly hanging (the webcam default), ~25%
+    RAISED (waving / gesturing, up to ~2.5 rad) per arm -- the clip
+    harness's wave trajectories must lie inside the training
+    distribution or the model misses raised arms entirely (measured:
+    the wave clip scored 0.63 pipeline IoU against a hang-only-trained
+    flagship, the raised arm absent from the mask)."""
     h, w = hw
-    ks = jax.random.split(key, 10)
+    ks = jax.random.split(key, 12)
     u = lambda k, lo, hi: jax.random.uniform(
         k, (batch, 1, 1), minval=lo, maxval=hi
     )
+
+    def arm_u(k_sel, k_ang):
+        raised = jax.random.bernoulli(k_sel, 0.25, (batch, 1, 1))
+        return jnp.where(
+            raised,
+            u(jax.random.fold_in(k_ang, 1), 1.1, 2.5),
+            u(k_ang, 0.0, 0.55),
+        )
+
     return {
         "cx": u(ks[0], 0.30 * w, 0.70 * w),
         "cy_s": u(ks[1], 0.38 * h, 0.62 * h),  # shoulder line
         "s": u(ks[2], 0.13 * w, 0.26 * w),     # shoulder half-width px
-        "lean": u(ks[3], -0.10, 0.10),         # rad
-        "head_dx": u(ks[4], -0.12, 0.12),      # units of s
-        "head_bob": u(ks[5], -0.05, 0.05),     # units of s
+        "lean": u(ks[3], -0.16, 0.16),         # rad (covers lean traj)
+        "head_dx": u(ks[4], -0.18, 0.18),      # units of s
+        "head_bob": u(ks[5], -0.08, 0.08),     # units of s
         # arm angles from straight-down, outward positive
-        "armL_u": u(ks[6], 0.03, 0.45),
-        "armL_d": u(ks[7], -0.15, 0.75),       # forearm delta (inward)
-        "armR_u": u(ks[8], 0.03, 0.45),
-        "armR_d": u(ks[9], -0.15, 0.75),
+        "armL_u": arm_u(ks[6], ks[7]),
+        "armL_d": u(ks[8], -0.15, 0.95),       # forearm delta (inward)
+        "armR_u": arm_u(ks[9], ks[10]),
+        "armR_d": u(ks[11], -0.15, 0.95),
     }
 
 
