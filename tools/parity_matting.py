@@ -275,6 +275,14 @@ def main():
             m_oracle.append(oracle_chain(mm[:T_ORACLE], c.frames[:T_ORACLE]))
             m_f_oracle_frames.append(mf[:T_ORACLE])
     cat = lambda xs: np.concatenate(xs, axis=0)
+    # EMA warmup: the first frames of a fresh stream carry a cold
+    # temporal state (first-frame-copy semantics); the *_vs_gt quality
+    # metrics skip them per clip, same stance as tools/eval_variants.py
+    # (t >= 5).  The agreement metrics (int8-vs-float, engine-vs-oracle)
+    # keep every frame -- both sides share the warmup.
+    WARM = 5  # same warmup convention as tools/eval_variants.py (t >= 5)
+    catw = lambda xs: np.concatenate([x[WARM:] for x in xs], axis=0)
+    m_i8_l, m_f_l, gt_l = m_i8, m_f, gt
     m_i8, m_f, gt = cat(m_i8), cat(m_f), cat(gt)
     m_oracle, m_f_or = cat(m_oracle), cat(m_f_oracle_frames)
 
@@ -343,13 +351,18 @@ def main():
             "prior_fired_frames": fired,
             "affine_applied_frames": applied,
         },
-        "int8_pipeline_vs_gt": parity_report(
-            np.concatenate([m_i8, mfc_i8]),
-            np.concatenate([gt, gt_face]),
-        ),
-        "float_pipeline_vs_gt": parity_report(
-            np.concatenate([m_f, mfc]), np.concatenate([gt, gt_face])
-        ),
+        "int8_pipeline_vs_gt": {
+            **parity_report(
+                catw(m_i8_l + [mfc_i8]), catw(gt_l + [gt_face])
+            ),
+            "warmup_frames_skipped_per_clip": WARM,
+        },
+        "float_pipeline_vs_gt": {
+            **parity_report(
+                catw(m_f_l + [mfc]), catw(gt_l + [gt_face])
+            ),
+            "warmup_frames_skipped_per_clip": WARM,
+        },
     }
     print(json.dumps(report, indent=2))
 

@@ -53,7 +53,7 @@ NAME = os.environ.get("VST_CKPT", "mattenet_hd10_pico")
 REAL_FRAC = float(os.environ.get("VST_REAL_FRAC", "0.5"))
 LR = float(os.environ.get("VST_LR", "1.5e-4"))
 SERVE_HW = (720, 1280)
-BATCH = 8
+BATCH = int(os.environ.get("VST_BATCH", "8"))
 
 
 def evaluate(model, params, data_fn, hw, n_batches=4, seed=999):
