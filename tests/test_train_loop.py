@@ -105,3 +105,20 @@ def test_fit_steps_per_call_chunked():
     assert len(history) == 2
     assert all(jnp.isfinite(h["loss"]) for h in history)
     assert all(0.0 <= h["iou"] <= 1.0 for h in history)
+
+
+def test_pipeline_loss_trains():
+    """make_pipeline_loss backprops through the serving refine chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_stream_segmenetation_tpu import models
+    from video_stream_segmenetation_tpu.train.loop import fit
+    from video_stream_segmenetation_tpu.train.losses import make_pipeline_loss
+
+    model = models.MatteNet(width=0.25)
+    params, history = fit(
+        model, hw=(32, 64), batch=2, steps=2, lr=1e-3,
+        loss_fn=make_pipeline_loss(model),
+    )
+    assert all(jnp.isfinite(h["loss"]) for h in history)

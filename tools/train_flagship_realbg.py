@@ -106,10 +106,23 @@ def main(steps: int = 400, promote: bool = False) -> None:
     }
     print("model-only IoU before:", json.dumps(before), flush=True)
 
+    # serving-chain-aware loss: backprop through the refine chain so the
+    # model's level sets calibrate to the SERVED alpha, not the raw one
+    # (a raw-alpha fine-tune measured model-only 0.98 but served 0.95 on
+    # the synthetic held-out clips; losses.make_pipeline_loss docstring)
+    from video_stream_segmenetation_tpu.train.losses import (
+        make_pipeline_loss,
+    )
+
+    loss_fn = (
+        None if os.environ.get("VST_NO_PIPE_LOSS")
+        else make_pipeline_loss(model)
+    )
     params, history = fit(
         model, hw=SERVE_HW, batch=BATCH, steps=steps, lr=LR,
         log_every=50, init_params=params, seed=3, data_fn=mixed_fn,
         steps_per_call=50,  # dispatch overhead dominates on this host
+        loss_fn=loss_fn,
     )
     for rec in history:
         print(f"[{NAME}/mix] {json.dumps(rec)}", flush=True)

@@ -73,6 +73,7 @@ def fit(
     mesh=None,
     init_params=None,
     steps_per_call: int = 1,
+    loss_fn=None,
 ):
     """Train a matting model; returns (params, history).
 
@@ -103,7 +104,7 @@ def fit(
         state = train.TrainState(
             params=init_params, opt_state=tx.init(init_params), step=state.step
         )
-    step_fn = train.make_train_step(model, tx)
+    step_fn = train.make_train_step(model, tx, loss_fn=loss_fn)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

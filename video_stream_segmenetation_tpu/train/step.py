@@ -47,14 +47,19 @@ def init_train_state(model, rng, sample_batch, tx=None) -> tuple[TrainState, Any
     )
 
 
-def make_train_step(model, tx):
+def make_train_step(model, tx, loss_fn=None):
     """Returns train_step(state, frames [B,H,W,3], alpha_gt [B,H,W]) ->
     (state, metrics).  jit/donate at the call site; shard `frames` and
-    `alpha_gt` on the mesh data axis and replicate state."""
+    `alpha_gt` on the mesh data axis and replicate state.
 
-    def loss_fn(params, frames, alpha_gt):
-        out = model.apply(params, frames, train=False)
-        return matting_loss(out, alpha_gt, frames)
+    ``loss_fn(params, frames, alpha_gt) -> (loss, metrics)`` overrides
+    the default matting loss (e.g. losses.make_pipeline_loss: backprop
+    through the serving refine chain)."""
+
+    if loss_fn is None:
+        def loss_fn(params, frames, alpha_gt):
+            out = model.apply(params, frames, train=False)
+            return matting_loss(out, alpha_gt, frames)
 
     def train_step(state: TrainState, frames, alpha_gt):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
