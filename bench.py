@@ -173,11 +173,14 @@ def main() -> None:
             )
         return float(np.asarray(_syncs[k](x)))
 
-    def time_rolls(fns, args_for, n1, n2, reps=5):
-        """MIN-statistic slopes for variant programs sharing one arg
-        tuple, interleaved rep-by-rep: per-dispatch overhead of any size
-        cancels in the slope; interleaving equalizes drift across
-        variants."""
+    def time_rolls(fns, args_for, n1, n2, reps=7):
+        """PAIRED per-rep slopes for variant programs sharing one arg
+        tuple: each rep times (n1, n2) back-to-back per variant, so the
+        slope cancels per-dispatch overhead AND the pair shares one
+        device drift window (clock/tenancy drift is ±15% minute-to-
+        minute here; a min-statistic across separate windows produced
+        physically impossible orderings — tools/bench_face_ablate.py).
+        Median over reps; variants interleaved within each rep."""
         def once(fn, n):
             t0 = time.perf_counter()
             outs = fn(*args_for, n)
@@ -186,16 +189,14 @@ def main() -> None:
 
         for fn in fns:  # warmup / compile
             sync_any(fn(*args_for, 2)[1])
-        ta = [[] for _ in fns]
-        tb = [[] for _ in fns]
+        slopes = [[] for _ in fns]
         for _ in range(reps):
             for i, fn in enumerate(fns):
-                ta[i].append(once(fn, n1))
-            for i, fn in enumerate(fns):
-                tb[i].append(once(fn, n2))
-        return [
-            (min(tb[i]) - min(ta[i])) / (n2 - n1) for i in range(len(fns))
-        ]
+                t1 = once(fn, n1)
+                t2 = once(fn, n2)
+                slopes[i].append((t2 - t1) / (n2 - n1))
+        med = lambda xs: sorted(xs)[len(xs) // 2]
+        return [med(s) for s in slopes]
 
     def step_variants(acc):
         return jax.jit(make_step_rollout(
@@ -240,7 +241,7 @@ def main() -> None:
     if budget_ms / p50 > 4.0:
         S_G, M = 96, 4
 
-        def time_round_schedule(group_sizes, n1=2, n2=14):
+        def time_round_schedule(group_sizes, n1=2, n2=20):
             """Bracketed round time for one schedule: the FUSED round
             program (runtime.make_round_step — what Engine.dispatch_round
             serves in production) iterated in-graph, both acc modes
