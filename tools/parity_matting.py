@@ -89,19 +89,25 @@ def build_engine(face: bool = False, **overrides):
     from video_stream_segmenetation_tpu.runtime.presets import preset
     from video_stream_segmenetation_tpu.service import Engine
 
+    base = preset("fast_int8_pico")
     statics = dataclasses.replace(
-        preset("fast_int8_pico"),
+        base,
         frame_hw=FRAME_HW, mask_hw=MASK_HW, background="color",
         face_path=face,
-        fd_size=256 if face else 64, lmk_size=192 if face else 48,
+        # face engines keep the preset's serving geometry (trained
+        # checkpoints are geometry-suffixed); non-face engines shrink
+        # the unused face models to cut build time
+        fd_size=base.fd_size if face else 64,
+        lmk_size=base.lmk_size if face else 48,
         **overrides,
     )
     eng = Engine(num_streams=1, statics=statics, donate_state=False)
     eng.load_matting_params(CKPT)
     if face:
+        suf = "" if statics.fd_size == 256 else f"_{statics.fd_size}"
         eng.load_face_params(
-            os.path.join(ROOT, "checkpoints", "facefinder"),
-            os.path.join(ROOT, "checkpoints", "landmarknet"),
+            os.path.join(ROOT, "checkpoints", "facefinder" + suf),
+            os.path.join(ROOT, "checkpoints", "landmarknet" + suf),
         )
     eng.admit()
     return eng
@@ -262,6 +268,10 @@ def main():
     m_i8, m_f, m_oracle, m_f_oracle_frames, gt = [], [], [], [], []
     for ci, c in enumerate(clips):
         print(f"clip {ci}...", flush=True)
+        for e in (eng_i8, eng_f, eng_model):
+            # fresh stream per clip: no temporal-state leak across clips
+            e.evict(0)
+            e.admit()
         m_i8.append(run_clip_through_engine(eng_i8, c))
         mf = run_clip_through_engine(eng_f, c)
         m_f.append(mf)
@@ -285,6 +295,20 @@ def main():
     m_i8_l, m_f_l, gt_l = m_i8, m_f, gt
     m_i8, m_f, gt = cat(m_i8), cat(m_f), cat(gt)
     m_oracle, m_f_or = cat(m_oracle), cat(m_f_oracle_frames)
+
+    # ---- no-smoothing quality bound: the EMA live-knob at 0 ----------
+    # Default knobs pay the reference's own temporal-smoothing lag on
+    # fast motion (EMA 0.55, frameProcessorTest.ts:21): the pipeline
+    # tracks ~0.04 IoU behind its own model on waving/moving clips.
+    # The knob is a per-stream live control (PipelineKnobs.ema); this
+    # run pins the segmentation quality itself, lag excluded.
+    eng_f0 = build_engine(matting_precision="bf16")
+    m_f0 = []
+    for c in clips:
+        eng_f0.evict(0)
+        eng_f0.admit()
+        eng_f0.set_knobs(0, ema=0.0)
+        m_f0.append(run_clip_through_engine(eng_f0, c))
 
     # ---- face-path run: engine face evidence drives the oracle chain --
     print("face-path engines...", flush=True)
@@ -362,6 +386,16 @@ def main():
                 catw(m_f_l + [mfc]), catw(gt_l + [gt_face])
             ),
             "warmup_frames_skipped_per_clip": WARM,
+        },
+        "float_pipeline_vs_gt_ema0": {
+            **parity_report(catw(m_f0), catw(gt_l)),
+            "warmup_frames_skipped_per_clip": WARM,
+            "_note": (
+                "EMA live-knob at 0 (no temporal smoothing): the "
+                "segmentation quality bound; the default-knob number "
+                "above additionally pays the reference's own EMA lag "
+                "on fast motion (EMA 0.55)."
+            ),
         },
     }
     print(json.dumps(report, indent=2))

@@ -100,6 +100,12 @@ _PRESETS = {
     # bitcast and column-folds in VMEM via one-hot MXU dots -- kills the
     # ~108 MB XLA lane-retiling copy (7.81 -> 7.62 ms at S=96,
     # in-context ablation 2026-08-19).
+    # fd/lmk 128: the face models retrained at the smaller geometry
+    # (tools/train_face.py VST_FD=128 -> checkpoints/*_128; det box IoU
+    # 0.827 vs 0.84 at 256, lmk err 0.35 px) serve the face subpath
+    # ~0.5-0.9 ms cheaper per S=64 step (tools/bench_face_ablate.py,
+    # round 4; the no_face delta drops from ~1.45 to ~0.5-1.25 --
+    # measurement-limited on the drifting chip, consistently positive)
     "fast_int8_pico": dict(
         matting_input="native",
         guide_impl="nearest_u8",
@@ -114,6 +120,8 @@ _PRESETS = {
         resize_impl="mxu",
         refined_dtype="bf16",
         int8_trunk_fold="vmem",
+        fd_size=128,
+        lmk_size=128,
     ),
     # plan-G femto trunk (matting_decoder='femto'): every trunk level at
     # exactly one 128-lane group -- the knee-hunt point below pico
