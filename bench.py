@@ -306,10 +306,13 @@ def main() -> None:
             # each candidate costs two compiles, so try at most two,
             # largest-first
             headroom = budget_ms - est4
-            est_extra = lambda sr: 0.115 * sr + 0.6
+            # marginal fused-round cost ~0.11 ms/stream (RESULTS.md r4);
+            # probe optimistically -- a candidate that misses costs one
+            # compile, a skipped one costs capacity every round
+            est_extra = lambda sr: 0.11 * sr
             tried = 0
             for S_R in (96, 64, 48, 32, 24, 16, 8):
-                if est_extra(S_R) > headroom + 0.6 or tried >= 2:
+                if est_extra(S_R) > headroom + 1.0 or tried >= 3:
                     continue
                 tried += 1
                 estr, redr, bufr = probe([S_G] * M + [S_R])
