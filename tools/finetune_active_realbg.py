@@ -1,0 +1,71 @@
+"""Mixed articulated fine-tune for the 'active' variant's MatteNet.
+
+The flagship got the round-4 articulated/real-background treatment
+(tools/train_flagship_realbg.py); this applies the same recipe —
+articulated people over the reference's real photos, 50/50 with the
+procedural scenes, through the serving-chain loss — to the 'active'
+reference pipeline's checkpoint (checkpoints/mattenet, served at the
+288x512 mask geometry by runtime/presets.py 'active').
+
+Run: JAX_PLATFORMS= python tools/finetune_active_realbg.py [steps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from video_stream_segmenetation_tpu import models, utils  # noqa: E402
+from video_stream_segmenetation_tpu.train.loop import (  # noqa: E402
+    fit,
+    synthetic_matting_batch,
+)
+from video_stream_segmenetation_tpu.train.losses import (  # noqa: E402
+    make_pipeline_loss,
+)
+from video_stream_segmenetation_tpu.train.realdata import (  # noqa: E402
+    load_background_bank,
+    make_mixed_data_fn,
+    make_real_bg_data_fn,
+)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(ROOT, "checkpoints")
+HW = (288, 512)  # the 'active' preset's matting geometry
+BATCH = 16
+
+
+def main(steps: int = 8000) -> None:
+    bank = load_background_bank(HW, oversample=2.0, as_uint8=True)
+    real_fn = make_real_bg_data_fn(bank, person="articulated")
+    mixed_fn = make_mixed_data_fn(real_fn, real_frac=0.5)
+
+    model = models.MatteNet()
+    like = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *HW, 3)))
+    params = utils.restore_params(os.path.join(CKPT, "mattenet"), like=like)
+
+    params, history = fit(
+        model, hw=HW, batch=BATCH, steps=steps, lr=3e-4,
+        init_params=params, seed=5, data_fn=mixed_fn,
+        steps_per_call=50, loss_fn=make_pipeline_loss(model),
+    )
+    for rec in history[-3:]:
+        print(f"[active/mix] {json.dumps(rec)}", flush=True)
+    utils.save_params(os.path.join(CKPT, "mattenet_mix"), params)
+    print("saved -> checkpoints/mattenet_mix "
+          "(promote by copying over checkpoints/mattenet after the "
+          "eval_variants 'active' gate)", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8000)
