@@ -52,7 +52,8 @@ CASES = [
     ("flagship_fast_int8_pico", "fast_int8_pico", {},
      os.environ.get("VST_CKPT_PICO", "mattenet_hd10_pico")),
     ("flagship_fast_int8_femto", "fast_int8_femto", {}, "mattenet_hd10_femto"),
-    ("active", "active", {}, "mattenet"),
+    ("active", "active", {},
+     os.environ.get("VST_CKPT_ACTIVE", "mattenet")),
     ("rvm", "rvm", {}, "rvm"),
     ("u2", "u2", {}, "u2net"),
     ("multiclass", "multiclass", {}, "mattenet_multiclass"),
