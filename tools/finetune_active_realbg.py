@@ -61,6 +61,27 @@ def main(steps: int = 8000) -> None:
     )
     for rec in history[-3:]:
         print(f"[active/mix] {json.dumps(rec)}", flush=True)
+
+    # multi-resolution polish: MatteNet serves at whatever mask geometry
+    # the deployment picks (the demo runs 96x128; 'active' runs 288x512)
+    # and texture frequencies do not transfer across the stem scale (a
+    # 288-only fine-tune zeroes the 96x128 masks outright).  Alternate
+    # short phases at the small geometry and back.
+    HW_S = (96, 128)
+    bank_s = load_background_bank(HW_S, oversample=2.0, as_uint8=True)
+    mixed_s = make_mixed_data_fn(
+        make_real_bg_data_fn(bank_s, person="articulated"), real_frac=0.5
+    )
+    for phw, pfn, plr, psteps in (
+        (HW_S, mixed_s, 1.5e-4, 1500), (HW, mixed_fn, 1e-4, 1500),
+        (HW_S, mixed_s, 7e-5, 800),
+    ):
+        params, history = fit(
+            model, hw=phw, batch=BATCH, steps=psteps, lr=plr,
+            init_params=params, seed=6, data_fn=pfn,
+            steps_per_call=50, loss_fn=make_pipeline_loss(model),
+        )
+        print(f"[active/mix {phw}] {json.dumps(history[-1])}", flush=True)
     utils.save_params(os.path.join(CKPT, "mattenet_mix"), params)
     print("saved -> checkpoints/mattenet_mix "
           "(promote by copying over checkpoints/mattenet after the "
