@@ -55,7 +55,7 @@ CASES = [
     ("active", "active", {},
      os.environ.get("VST_CKPT_ACTIVE", "mattenet")),
     ("rvm", "rvm", {}, "rvm"),
-    ("u2", "u2", {}, "u2net"),
+    ("u2", "u2", {}, os.environ.get("VST_CKPT_U2", "u2net")),
     ("multiclass", "multiclass", {}, "mattenet_multiclass"),
     ("multiclass_fast", "multiclass_fast", {}, "mattenet_hd10_mc"),
     ("multiclass_fast_pico", "multiclass_fast_pico", {}, "mattenet_hd10_mc_pico"),
