@@ -46,9 +46,21 @@ def main(steps: int = 5000) -> None:
     model = models.SaliencyNet()
     like = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *HW, 3)))
     params = utils.restore_params(os.path.join(CKPT, "u2net"), like=like)
+    def u2_loss(params, frames, gt):
+        # the variant's own objective (tools/train_variants.py::train_u2);
+        # SaliencyNet has no MODNet heads, so the default matting loss
+        # does not apply
+        out = model.apply(params, frames)
+        l1 = jnp.abs(out["alpha"] - gt).mean()
+        eps = 1e-6
+        p = jnp.clip(out["alpha"], eps, 1 - eps)
+        bce = -(gt * jnp.log(p) + (1 - gt) * jnp.log(1 - p)).mean()
+        return l1 + 0.5 * bce, {"loss": l1 + 0.5 * bce, "alpha_l1": l1}
+
     params, history = fit(
         model, hw=HW, batch=BATCH, steps=steps, lr=2e-4,
         init_params=params, seed=7, data_fn=mixed_fn, steps_per_call=50,
+        loss_fn=u2_loss,
     )
     print(f"[u2/mix] {json.dumps(history[-1])}", flush=True)
     utils.save_params(os.path.join(CKPT, "u2net_mix"), params)
