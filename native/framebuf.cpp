@@ -7,8 +7,11 @@
 // converts pixel formats (YUV420 -> RGB, the decode-to-tensor stage named
 // in BASELINE.json), and assembles the freshest frame per stream into a
 // contiguous [S, H, W, 3] batch buffer that jax.device_put can DMA without
-// further copies.  Double-buffered: assembly writes one buffer while the
-// previous batch is still being uploaded.
+// further copies.  Buffered by a ring of assembly buffers (depth 2 by
+// default = classic double buffering; vst_pool_set_depth raises it so a
+// fused-round scheduler can hold a whole rotation's group views live while
+// the previous round is still in flight): assembly writes the next ring
+// buffer while earlier batches are still being uploaded.
 //
 // Concurrency model: one producer thread per stream (lock-free SPSC slot
 // ring per stream, seqlock-style), one consumer (the batch assembler).
@@ -44,9 +47,14 @@ struct Pool {
                          // layout, ops/layout.py -- patch order (dy,dx,c))
     size_t frame_bytes;  // H*W*3
     std::vector<StreamRing> rings;
-    // double-buffered batch output
-    std::vector<uint8_t> batch[2];
-    std::vector<uint64_t> batch_ids[2];
+    // ring of assembly output buffers: depth 2 (plain double buffering)
+    // by default; a fused-round consumer that assembles G groups before
+    // dispatching and collects one round late needs 2*G buffers so every
+    // group's zero-copy view survives the full round in flight
+    // (vst_pool_set_depth; runtime/scheduler.py step_round).
+    int depth = 2;
+    std::vector<std::vector<uint8_t>> batch;
+    std::vector<std::vector<uint64_t>> batch_ids;
     int cur_batch = 0;
     // guide-lane emission (vst_pool_enable_lanes): per-patch tap offsets
     // (guide_s2d_sel planar order, ops/layout.py); during each stream's
@@ -54,7 +62,7 @@ struct Pool {
     // packed[s, i, j, lane_sel[k]] -- the device-side guide gather's
     // frame re-read never happens (pipeline guide_source='host').
     std::vector<int32_t> lane_sel;
-    std::vector<uint8_t> lanes[2];  // nl * S * (H/b) * (W/b)
+    std::vector<std::vector<uint8_t>> lanes;  // depth x (nl * S * (H/b) * (W/b))
 };
 
 // Pack one natural RGB frame into s2d patch order.  Runs inside the batch
@@ -103,11 +111,40 @@ void* vst_pool_create_s2d(int num_streams, int height, int width,
         r.data.resize(StreamRing::kSlots * p->frame_bytes);
         for (int i = 0; i < StreamRing::kSlots; ++i) r.seq[i].store(0);
     }
-    for (int b = 0; b < 2; ++b) {
+    p->batch.resize(p->depth);
+    p->batch_ids.resize(p->depth);
+    p->lanes.resize(p->depth);
+    for (int b = 0; b < p->depth; ++b) {
         p->batch[b].resize(static_cast<size_t>(num_streams) * p->frame_bytes);
         p->batch_ids[b].resize(num_streams, 0);
     }
     return p;
+}
+
+// Resize the assembly-buffer ring: views returned by the assemble calls
+// stay valid for (depth - 1) subsequent assembles.  A scheduler that
+// assembles G groups per fused round and keeps one round in flight needs
+// depth = 2*G.  Invalidates any outstanding views.  Returns 0 on success.
+int vst_pool_set_depth(void* pool, int depth) {
+    Pool* p = static_cast<Pool*>(pool);
+    if (depth < 2) return -1;
+    p->depth = depth;
+    p->batch.resize(depth);
+    p->batch_ids.resize(depth);
+    p->lanes.resize(depth);
+    const size_t plane =
+        p->s2d_block > 0
+            ? static_cast<size_t>(p->height / p->s2d_block) *
+                  (p->width / p->s2d_block)
+            : 0;
+    for (int b = 0; b < depth; ++b) {
+        p->batch[b].resize(static_cast<size_t>(p->num_streams) * p->frame_bytes);
+        p->batch_ids[b].resize(p->num_streams, 0);
+        if (!p->lane_sel.empty())
+            p->lanes[b].resize(p->lane_sel.size() * p->num_streams * plane);
+    }
+    p->cur_batch = 0;
+    return 0;
 }
 
 void* vst_pool_create(int num_streams, int height, int width) {
@@ -181,9 +218,10 @@ uint64_t vst_push_i420(void* pool, int s, const uint8_t* y, const uint8_t* u,
 
 // ---- consumer side (batch assembler) --------------------------------------
 
-// Assemble the freshest frame of every stream into the next batch buffer.
-// Returns a pointer to a stable [S, H, W, 3] uint8 buffer (valid until the
-// *next* vst_assemble_batch call on the same pool -- double buffering).
+// Assemble the freshest frame of every stream into the next ring buffer.
+// Returns a pointer to a stable [S, H, W, 3] uint8 buffer (valid for the
+// next depth-1 assemble calls on the same pool; depth defaults to 2 =
+// double buffering, see vst_pool_set_depth).
 // frame_ids_out (len S) receives the frame id captured per stream (0 if the
 // stream never produced).
 static void assemble_stream(Pool* p, int s, uint8_t* dst,
@@ -251,7 +289,7 @@ int vst_pool_enable_lanes(void* pool, const int32_t* sel, int nl) {
     p->lane_sel.assign(sel, sel + nl);
     const size_t plane = static_cast<size_t>(p->height / p->s2d_block) *
                          (p->width / p->s2d_block);
-    for (int b = 0; b < 2; ++b)
+    for (int b = 0; b < p->depth; ++b)
         p->lanes[b].resize(static_cast<size_t>(nl) * p->num_streams * plane);
     return 0;
 }
@@ -266,7 +304,7 @@ const uint8_t* vst_lanes_ptr(void* pool) {
 
 const uint8_t* vst_assemble_batch(void* pool, uint64_t* frame_ids_out) {
     Pool* p = static_cast<Pool*>(pool);
-    int b = p->cur_batch ^ 1;  // write the other buffer
+    int b = (p->cur_batch + 1) % p->depth;  // write the next ring buffer
     uint8_t* out = p->batch[b].data();
     const size_t plane =
         p->s2d_block > 0
@@ -292,7 +330,7 @@ const uint8_t* vst_assemble_range(void* pool, int begin, int end,
                                   uint64_t* frame_ids_out) {
     Pool* p = static_cast<Pool*>(pool);
     if (begin < 0 || end > p->num_streams || begin >= end) return nullptr;
-    int b = p->cur_batch ^ 1;
+    int b = (p->cur_batch + 1) % p->depth;
     uint8_t* out = p->batch[b].data();
     const size_t plane =
         p->s2d_block > 0

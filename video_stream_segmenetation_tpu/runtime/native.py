@@ -28,7 +28,11 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "framebuf.cpp")
+    stale = os.path.exists(_LIB_PATH) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if not os.path.exists(_LIB_PATH) or stale:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.vst_pool_create.restype = ctypes.c_void_p
@@ -38,6 +42,8 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.vst_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib.vst_pool_set_depth.restype = ctypes.c_int
+    lib.vst_pool_set_depth.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.vst_push_rgb.restype = ctypes.c_uint64
     lib.vst_push_rgb.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
     lib.vst_push_i420.restype = ctypes.c_uint64
@@ -127,11 +133,18 @@ class FramePool:
     """Host-side frame staging for S streams of HxW RGB frames."""
 
     def __init__(self, num_streams: int, height: int, width: int,
-                 s2d_block: int = 0, guide_lanes=None):
+                 s2d_block: int = 0, guide_lanes=None, depth: int = 2):
         """s2d_block=b > 0: assembled batches come out space-to-depth
         packed [S, H/b, W/b, b*b*3] (the TPU ingestion layout,
         ops/layout.py) -- the pack replaces the assembly memcpy, so the
         permutation is host-free.
+
+        depth: size of the assembly-buffer ring.  Views returned by
+        assemble()/assemble_range() (and the matching lanes()) stay valid
+        for ``depth - 1`` subsequent assembles.  The default 2 is classic
+        double buffering; a fused-round scheduler that assembles G groups
+        before one dispatch and collects a round late needs ``2 * G``
+        (runtime/scheduler.py step_round).
 
         guide_lanes: optional int sequence of per-patch tap offsets
         (ops.guide_s2d_sel(..., planar=True)); the assembler then also
@@ -151,6 +164,10 @@ class FramePool:
         )
         if not self._pool:
             raise RuntimeError("vst_pool_create failed")
+        if depth != 2:
+            if self._lib.vst_pool_set_depth(self._pool, int(depth)) != 0:
+                raise ValueError(f"bad pool depth {depth}")
+        self.depth = depth
         self._ids = (ctypes.c_uint64 * num_streams)()
         self.num_lanes = 0
         self._last_rows = num_streams
@@ -204,9 +221,9 @@ class FramePool:
         """Snapshot the freshest frame of every stream.
 
         Returns (batch, frame_ids): batch is a zero-copy uint8
-        [S, H, W, 3] view into the pool's double buffer -- valid until the
-        next assemble() -- and frame_ids the per-stream capture ids
-        (0 where a stream has produced nothing yet).
+        [S, H, W, 3] view into the pool's buffer ring -- valid for the
+        next ``depth - 1`` assembles -- and frame_ids the per-stream
+        capture ids (0 where a stream has produced nothing yet).
         """
         ptr = self._lib.vst_assemble_batch(self._pool, self._ids)
         self._last_rows = self.num_streams
@@ -243,8 +260,9 @@ class FramePool:
     def lanes(self) -> np.ndarray:
         """Guide-lane tensor of the CURRENT batch (the last assemble /
         assemble_range): zero-copy uint8 view [nl, rows, H/b, W/b], rows =
-        S for assemble() or end-begin for assemble_range().  Valid until
-        the next assemble."""
+        S for assemble() or end-begin for assemble_range().  Rides the
+        same buffer ring as the batch: valid for ``depth - 1`` subsequent
+        assembles."""
         if not self.num_lanes:
             raise RuntimeError("pool created without guide_lanes")
         ptr = self._lib.vst_lanes_ptr(self._pool)

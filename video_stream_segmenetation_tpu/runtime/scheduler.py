@@ -115,9 +115,15 @@ class StreamScheduler:
                     sel = _ops.guide_s2d_sel(
                         (fh, fw), engine.statics.mask_hw, blk, planar=True
                     )
+                # Fused rounds assemble EVERY group before one dispatch and
+                # collect a round late, so all G views (and their lanes)
+                # must survive a full round of further assembles: ring
+                # depth 2*G.  Per-group modes keep at most one step in
+                # flight -- classic depth-2 double buffering suffices.
                 self.pool = FramePool(
                     engine.num_streams, fh, fw, s2d_block=blk,
                     guide_lanes=sel,
+                    depth=(2 * groups) if fused_rounds else 2,
                 )
             except Exception:
                 self.pool = None  # fall back to host-side arrays
@@ -290,8 +296,12 @@ class StreamScheduler:
                 self.on_batch(r, ids)
         return outs
 
-    def drain(self) -> dict | None:
-        """Collect the in-flight step, if any (end-of-loop flush)."""
+    def drain(self) -> "dict | list[dict] | None":
+        """Collect the in-flight step, if any (end-of-loop flush).
+
+        Returns the in-flight step's result dict -- or, when the in-flight
+        token is a fused ROUND, the full list of per-group result dicts
+        (matching what step_round would have returned next tick)."""
         token, self._inflight = self._inflight, None
         if token is None:
             return None
@@ -301,7 +311,7 @@ class StreamScheduler:
                 pids = token.get("ids") or [None] * len(outs)
                 for r, ids in zip(outs, pids):
                     self.on_batch(r, ids)
-            return outs[-1] if outs else None
+            return outs
         out = self.engine.collect(token)
         if self.on_batch is not None:
             self.on_batch(out, token.get("ids"))

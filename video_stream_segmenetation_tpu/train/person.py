@@ -247,12 +247,23 @@ def render(ident: dict, pose: dict, hw, features: bool = False) -> dict:
     )
 
     # head box in px (for the face-path clip harness), same convention
-    # as train/face.py::synthetic_face_batch: the head-ellipse bbox
-    hx_px = cx[..., 0] + (hcx * s)[..., 0] * cl[..., 0]
-    hy_px = cy[..., 0] + (hcy * s)[..., 0] * cl[..., 0]
+    # as train/face.py::synthetic_face_batch: the head-ellipse bbox.
+    # The person is rasterized in the leaned frame (xr/yr above, rotation
+    # R = [[cl, sl], [-sl, cl]] about the shoulder center), so the head
+    # center maps back through R^-1 -- both sin terms matter (at lean
+    # ~0.21 rad and hcy ~ -0.9 the off-diagonal term moves x by ~0.6
+    # head radii) -- and the bbox half-extents are the rotated-ellipse
+    # envelope.
+    _cl, _sl = cl[..., 0], sl[..., 0]
+    _hcx, _hcy = hcx[..., 0], hcy[..., 0]
+    _hrx, _hry = hrx[..., 0], hry[..., 0]
+    hx_px = cx[..., 0] + s[..., 0] * (_cl * _hcx - _sl * _hcy)
+    hy_px = cy[..., 0] + s[..., 0] * (_sl * _hcx + _cl * _hcy)
+    hw_px = s[..., 0] * jnp.sqrt((_hrx * _cl) ** 2 + (_hry * _sl) ** 2)
+    hh_px = s[..., 0] * jnp.sqrt((_hrx * _sl) ** 2 + (_hry * _cl) ** 2)
     head_box = jnp.concatenate(
-        [hx_px - (hrx * s)[..., 0], hy_px - (hry * s)[..., 0],
-         hx_px + (hrx * s)[..., 0], hy_px + (hry * s)[..., 0]], axis=-1
+        [hx_px - hw_px, hy_px - hh_px, hx_px + hw_px, hy_px + hh_px],
+        axis=-1,
     )
     return {"alpha": alpha, "rgb": rgb, "head_box": head_box}
 
