@@ -208,19 +208,22 @@ def main() -> None:
              engine.knobs, gate)
     N1, N2 = 4, 64
     p50_reduce, p50_buffer = time_rolls(rolls, rargs, N1, N2)
-    # number of record: the 'reduce' variant reproduces the historical
-    # python-loop numbers measured on healthy transports (RESULTS.md);
-    # 'buffer' is the conservative upper bound, reported alongside
-    p50 = p50_reduce
+    # number of record: the MEAN of the [reduce, buffer] bracket --
+    # 'reduce' slightly undercounts (output store elided), 'buffer'
+    # slightly overcounts (extra accumulator read); every claimed number
+    # (step, group latency, capacity) uses the same mean-of-bracket rule
+    # and prints the bracket alongside (VERDICT r4 weak #2)
+    p50 = (p50_reduce + p50_buffer) / 2.0
     diag["python_loop_step_ms"] = round(py_step_ms, 2)
     diag["step_dispatch_overhead_ms"] = round(py_step_ms - p50, 2)
     diag["step_ms_bracket"] = [round(p50_reduce, 2), round(p50_buffer, 2)]
     diag["method"] = (
         "in-graph fori_loop rollout of the production step/round "
-        f"(perturb=weights), min-statistic slope of n in {{{N1},{N2}}}, "
-        "acc-mode bracket [reduce, buffer] timed interleaved "
-        "(runtime/rollout.py; per-dispatch transport cost of any size "
-        "cancels)"
+        f"(perturb=weights), median of paired per-rep slopes (n1={N1}, "
+        f"n2={N2} back-to-back per variant, variants interleaved within "
+        "each rep), acc-mode bracket [reduce, buffer], claim = bracket "
+        "mean (runtime/rollout.py; per-dispatch transport cost of any "
+        "size cancels)"
     )
 
     budget_ms = 1000.0 / TARGET_FPS
@@ -417,7 +420,8 @@ def main() -> None:
         gframes16 = frames_dev[:GS]
     gargs = (engine.bundle.params, rows(engine.state), gframes16, bgs[:GS],
              rows(engine.knobs), jnp.ones((GS,), bool))
-    (gp50,) = time_rolls([rolls[0]], gargs, 8, 128)
+    gp50_reduce, gp50_buffer = time_rolls(rolls, gargs, 8, 128)
+    gp50 = (gp50_reduce + gp50_buffer) / 2.0  # same mean-of-bracket rule
 
     result = {
         "metric": "streams_720p30_per_chip",
@@ -443,6 +447,8 @@ def main() -> None:
             "mode": "group-scheduled latency serving "
                     "(StreamScheduler(groups=4), 64 streams as 4x16)",
             "group_streams": GS,
+            "group_ms_bracket": [round(gp50_reduce, 2),
+                                 round(gp50_buffer, 2)],
             "full_batch_step_ms_p50": round(p50, 2),
             "method": diag["method"],
         },

@@ -46,6 +46,65 @@ def test_temporal_ema_per_stream_knob(rng):
     np.testing.assert_allclose(np.asarray(out)[2], cur[2])
 
 
+def test_temporal_ema_adaptive(rng):
+    """Motion-adaptive mode: adapt=0 is bit-exact reference EMA; below
+    the T0 gate smoothing is untouched; above T1 the output tracks the
+    current frame (effective EMA k*(1-adapt))."""
+    from video_stream_segmenetation_tpu.runtime.config import (
+        EMA_ADAPT_T0,
+        EMA_ADAPT_T1,
+    )
+
+    prev = rng.random((2, H, W), dtype=np.float32)
+    cur = rng.random((2, H, W), dtype=np.float32)
+    init = np.array([True, True])
+    fixed, _ = ops.temporal_ema(
+        jnp.asarray(prev), jnp.asarray(cur), 0.55, jnp.asarray(init)
+    )
+    zero_adapt, _ = ops.temporal_ema(
+        jnp.asarray(prev), jnp.asarray(cur), 0.55, jnp.asarray(init),
+        adapt=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(zero_adapt), np.asarray(fixed))
+
+    # static pixels: |cur - prev| <= T0 everywhere -> same as fixed EMA
+    small = prev + rng.uniform(
+        -EMA_ADAPT_T0, EMA_ADAPT_T0, prev.shape
+    ).astype(np.float32) * 0.99
+    f2, _ = ops.temporal_ema(
+        jnp.asarray(prev), jnp.asarray(small), 0.55, jnp.asarray(init)
+    )
+    a2, _ = ops.temporal_ema(
+        jnp.asarray(prev), jnp.asarray(small), 0.55, jnp.asarray(init),
+        adapt=1.0,
+    )
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(f2), atol=1e-6)
+
+    # saturated motion: |cur - prev| >= T1 -> output == current at adapt=1
+    big_prev = np.zeros((1, H, W), np.float32)
+    big_cur = np.full((1, H, W), EMA_ADAPT_T1 + 0.1, np.float32)
+    a3, out3 = ops.temporal_ema(
+        jnp.asarray(big_prev), jnp.asarray(big_cur), 0.55,
+        jnp.asarray([True]), adapt=1.0,
+    )
+    np.testing.assert_allclose(np.asarray(out3), big_cur, atol=1e-6)
+
+    # per-stream knob: stream 0 adaptive, stream 1 reference
+    ad = np.array([1.0, 0.0], np.float32)
+    a4, _ = ops.temporal_ema(
+        jnp.asarray(prev), jnp.asarray(cur), 0.55, jnp.asarray(init),
+        adapt=jnp.asarray(ad),
+    )
+    np.testing.assert_array_equal(np.asarray(a4)[1], np.asarray(fixed)[1])
+
+    # first-frame copy semantics unchanged
+    a5, out5 = ops.temporal_ema(
+        jnp.asarray(prev), jnp.asarray(cur), 0.55,
+        jnp.asarray([False, False]), adapt=1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out5), cur)
+
+
 def test_hole_filling_ema(rng):
     prev = rng.random((H, W), dtype=np.float32)
     cur = rng.random((H, W), dtype=np.float32)

@@ -12,10 +12,11 @@ S, H, W = 2, 24, 128
 
 
 def _ops_chain(alpha_raw, prev, affine, use_warp, init, wb, guide, prior,
-               ema, low, high, gamma, use_bi, ss, sr, has_prior):
+               ema, low, high, gamma, use_bi, ss, sr, has_prior,
+               ema_adapt=None):
     warped = ops.warp_affine_separable(prev, affine)
     base = jnp.where(use_warp[:, None, None], warped * wb + alpha_raw * (1 - wb), alpha_raw)
-    new_prev, a = ops.temporal_ema(prev, base, ema, init)
+    new_prev, a = ops.temporal_ema(prev, base, ema, init, adapt=ema_adapt)
     a = ops.morphological_opening(a)
     a = ops.morphological_closing_in_prior(a, prior, has_prior)
     ab = ops.joint_bilateral3x3(a, guide, ss, sr)
@@ -55,6 +56,43 @@ def test_fused_temporal_refine_matches_ops(data):
     )
     np.testing.assert_allclose(np.asarray(got_prev), np.asarray(want_prev), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_temporal_refine_adaptive_ema_matches_ops(data):
+    """The motion-adaptive EMA knob (kernel stage 4) vs the ops chain,
+    with one stream adaptive and one at reference semantics."""
+    alpha_raw, prev, affine, guide, prior = data
+    knobs = runtime.default_knobs(S)
+    use_warp = jnp.asarray([True, False])
+    init = jnp.asarray([True, True])
+    has_prior = jnp.asarray([True, False])
+    adapt = jnp.asarray([1.0, 0.0], jnp.float32)
+
+    want_prev, want = _ops_chain(
+        alpha_raw, prev, affine, use_warp, init, 0.3, guide, prior,
+        knobs.ema, knobs.noise_cutoff, knobs.high_threshold, knobs.gamma,
+        knobs.use_bilateral, knobs.sigma_spatial, knobs.sigma_range,
+        has_prior, ema_adapt=adapt,
+    )
+    got_prev, got = fused_temporal_refine(
+        alpha_raw, prev, affine, use_warp, init, 0.3, guide, prior,
+        knobs.ema, knobs.noise_cutoff, knobs.high_threshold, knobs.gamma,
+        knobs.use_bilateral, knobs.sigma_spatial, knobs.sigma_range,
+        has_prior, knobs_ema_adapt=adapt, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_prev), np.asarray(want_prev), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+    # the adaptive stream really differs from fixed-EMA on this data
+    fixed_prev, _ = _ops_chain(
+        alpha_raw, prev, affine, use_warp, init, 0.3, guide, prior,
+        knobs.ema, knobs.noise_cutoff, knobs.high_threshold, knobs.gamma,
+        knobs.use_bilateral, knobs.sigma_spatial, knobs.sigma_range,
+        has_prior,
+    )
+    assert np.abs(np.asarray(got_prev)[0] - np.asarray(fixed_prev)[0]).max() > 1e-3
+    np.testing.assert_allclose(
+        np.asarray(got_prev)[1], np.asarray(fixed_prev)[1], atol=2e-5
+    )
 
 
 def test_fused_temporal_refine_cold_start(data):

@@ -279,11 +279,22 @@ def main():
         if ci == 0:
             # the literal per-pixel oracle is ~1 min/frame at 288x512;
             # one clip's first T_ORACLE frames pin the chain semantics
-            # (EMA is stateful, so the prefix must be contiguous)
+            # (EMA is stateful, so the prefix must be contiguous).
+            # The oracle is the REFERENCE formula chain, so this run uses
+            # the compatibility mode (ema_adapt=0 = reference-exact fixed
+            # EMA); the *_vs_gt rows above keep the shipped default
+            # (motion-adaptive EMA, the preset's quality improvement).
             mm = run_clip_through_engine(eng_model, c)
+            eng_f.evict(0)
+            eng_f.admit()
+            eng_f.set_knobs(0, ema_adapt=0.0)
+            mf_compat = run_clip_through_engine(eng_f, c)
+            eng_f.evict(0)
+            eng_f.admit()
+            eng_f.reset_knobs(0)  # back to preset defaults for later clips
             print("oracle chain (no face)...", flush=True)
             m_oracle.append(oracle_chain(mm[:T_ORACLE], c.frames[:T_ORACLE]))
-            m_f_oracle_frames.append(mf[:T_ORACLE])
+            m_f_oracle_frames.append(mf_compat[:T_ORACLE])
     cat = lambda xs: np.concatenate(xs, axis=0)
     # EMA warmup: the first frames of a fresh stream carry a cold
     # temporal state (first-frame-copy semantics); the *_vs_gt quality
@@ -322,14 +333,22 @@ def main():
     mfc, caps = run_with_capture(eng_face, face_clip)
     mfc_i8, _ = run_with_capture(eng_face_i8, face_clip)
     mmc, _ = run_with_capture(eng_face_model, face_clip)
-    fired = sum(1 for c in caps if c.get("has_prior"))
-    applied = sum(1 for c in caps if c["face_applied"])
+    # oracle comparison at the reference-compat mode (fixed EMA): the
+    # per-pixel oracle implements the reference's formulas, so the
+    # engine side must run with ema_adapt=0 (the *_vs_gt rows keep the
+    # shipped adaptive default)
+    eng_face.evict(0)
+    eng_face.admit()
+    eng_face.set_knobs(0, ema_adapt=0.0)
+    mfc_compat, caps_c = run_with_capture(eng_face, face_clip)
+    fired = sum(1 for c in caps_c if c.get("has_prior"))
+    applied = sum(1 for c in caps_c if c["face_applied"])
     warp_w = eng_face.statics.warp_blend_weight
-    print(f"face clip: prior fired {fired}/{len(caps)} frames, "
+    print(f"face clip: prior fired {fired}/{len(caps_c)} frames, "
           f"affine applied {applied}", flush=True)
     print("oracle chain (face)...", flush=True)
     m_oracle_face = oracle_chain(
-        mmc[:T_ORACLE], face_clip.frames[:T_ORACLE], caps=caps[:T_ORACLE],
+        mmc[:T_ORACLE], face_clip.frames[:T_ORACLE], caps=caps_c[:T_ORACLE],
         warp_w=warp_w,
     )
     gt_face = np.asarray(downs(jnp.asarray(face_clip.alpha)))
@@ -367,11 +386,13 @@ def main():
         "int8_vs_float_pipeline": parity_report(
             np.concatenate([m_i8, mfc_i8]), np.concatenate([m_f, mfc])
         ),
-        "engine_vs_reference_semantics_oracle": parity_report(
-            m_f_or, m_oracle
-        ),
+        "engine_vs_reference_semantics_oracle": {
+            **parity_report(m_f_or, m_oracle),
+            "_knobs": "ema_adapt=0 (reference-compat mode, both sides)",
+        },
         "engine_vs_oracle_face_path": {
-            **parity_report(mfc[:T_ORACLE], m_oracle_face),
+            **parity_report(mfc_compat[:T_ORACLE], m_oracle_face),
+            "_knobs": "ema_adapt=0 (reference-compat mode, both sides)",
             "prior_fired_frames": fired,
             "affine_applied_frames": applied,
         },
@@ -380,12 +401,14 @@ def main():
                 catw(m_i8_l + [mfc_i8]), catw(gt_l + [gt_face])
             ),
             "warmup_frames_skipped_per_clip": WARM,
+            "_knobs": "shipped preset defaults (motion-adaptive EMA)",
         },
         "float_pipeline_vs_gt": {
             **parity_report(
                 catw(m_f_l + [mfc]), catw(gt_l + [gt_face])
             ),
             "warmup_frames_skipped_per_clip": WARM,
+            "_knobs": "shipped preset defaults (motion-adaptive EMA)",
         },
         "float_pipeline_vs_gt_ema0": {
             **parity_report(catw(m_f0), catw(gt_l)),

@@ -214,6 +214,7 @@ def _temporal_refine_kernel(
     sr_ref,
     has_prior_ref,
     ema_ref,  # [S] f32 EMA knob
+    adapt_ref,  # [S] f32 motion-adaptive EMA strength (0 = reference)
     use_warp_ref,  # [S] int -- has_affine & initialized
     init_ref,  # [S] int -- EMA initialized flag
     wb_ref,  # [S] f32 warp blend weight (0.3 active / 0.5 blaze)
@@ -233,7 +234,7 @@ def _temporal_refine_kernel(
     i = pl.program_id(0)
     _tr_body(
         i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
-        has_prior_ref, ema_ref, use_warp_ref, init_ref, wb_ref,
+        has_prior_ref, ema_ref, adapt_ref, use_warp_ref, init_ref, wb_ref,
         alpha_ref[0], prev_ref, idx_ref, gr_ref[0], gg_ref[0], gb_ref[0],
         prior_ref[0], newprev_ref, out_ref, debug,
     )
@@ -249,6 +250,7 @@ def _temporal_refine_kernel_analytic(
     sr_ref,
     has_prior_ref,
     ema_ref,
+    adapt_ref,
     use_warp_ref,
     init_ref,
     wb_ref,
@@ -286,7 +288,7 @@ def _temporal_refine_kernel_analytic(
     )
     _tr_body(
         i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
-        has_prior_ref, ema_ref, use_warp_ref, init_ref, wb_ref,
+        has_prior_ref, ema_ref, adapt_ref, use_warp_ref, init_ref, wb_ref,
         alpha_ref[0], prev_ref, idx_ref, gr_ref[0], gg_ref[0], gb_ref[0],
         prior, newprev_ref, out_ref, debug,
     )
@@ -335,6 +337,7 @@ def _temporal_refine_kernel_fast(
     sr_ref,
     has_prior_ref,
     ema_ref,
+    adapt_ref,
     use_warp_ref,
     init_ref,
     wb_ref,
@@ -404,7 +407,7 @@ def _temporal_refine_kernel_fast(
     )
     _tr_body(
         i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
-        has_prior_ref, ema_ref, use_warp_ref, init_ref, wb_ref,
+        has_prior_ref, ema_ref, adapt_ref, use_warp_ref, init_ref, wb_ref,
         a_raw, prev_ref, idx_ref, g_r, g_g, g_b,
         prior, newprev_ref, out_ref, debug,
     )
@@ -412,7 +415,7 @@ def _temporal_refine_kernel_fast(
 
 def _tr_body(
     i, low_ref, high_ref, gamma_ref, use_bi_ref, ss_ref, sr_ref,
-    has_prior_ref, ema_ref, use_warp_ref, init_ref, wb_ref,
+    has_prior_ref, ema_ref, adapt_ref, use_warp_ref, init_ref, wb_ref,
     a_raw, prev_ref, idx_ref, g_r, g_g, g_b,
     prior, newprev_ref, out_ref, debug,
 ):
@@ -445,9 +448,24 @@ def _tr_body(
         use_warp_ref[i] > 0, warped * wb + a_raw * (1.0 - wb), a_raw
     )
 
-    # ---- stage 4: temporal EMA (first-frame copy semantics)
+    # ---- stage 4: temporal EMA (first-frame copy semantics), with the
+    # optional per-pixel motion-adaptive gate (adapt=0 = reference-exact;
+    # ops/temporal.py::temporal_ema is the pinned XLA twin)
+    from video_stream_segmenetation_tpu.runtime.config import (
+        EMA_ADAPT_T0,
+        EMA_ADAPT_T1,
+    )
+
     k = ema_ref[i]
-    new_prev = jnp.where(init_ref[i] > 0, k * prev + (1.0 - k) * base, base)
+    ad = adapt_ref[i]
+    d = jnp.abs(base - prev)
+    m = jnp.clip(
+        (d - EMA_ADAPT_T0) * (1.0 / (EMA_ADAPT_T1 - EMA_ADAPT_T0)), 0.0, 1.0
+    )
+    ke = k * (1.0 - ad * m)
+    new_prev = jnp.where(
+        init_ref[i] > 0, ke * prev + (1.0 - ke) * base, base
+    )
     newprev_ref[0] = new_prev
 
     refined = _chain_body(
@@ -540,6 +558,7 @@ def fused_temporal_refine(
     knobs_ss: jnp.ndarray,
     knobs_sr: jnp.ndarray,
     has_prior: jnp.ndarray,
+    knobs_ema_adapt: jnp.ndarray | None = None,
     interpret: bool | None = None,
     guide_planar: bool = False,
     debug: tuple = (),
@@ -652,14 +671,14 @@ def fused_temporal_refine(
         else:
             in_specs += [plane, plane, plane]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=15,
+            num_scalar_prefetch=16,
             grid=(s,),
             in_specs=in_specs,
             out_specs=[plane, plane],
         )
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=15 if analytic else 11,
+            num_scalar_prefetch=16 if analytic else 12,
             grid=(s,),
             in_specs=(
                 [plane, plane, idx_spec, plane, plane, plane]
@@ -682,6 +701,11 @@ def fused_temporal_refine(
         jnp.asarray(knobs_sr, jnp.float32),
         jnp.asarray(has_prior, jnp.int32),
         jnp.asarray(knobs_ema, jnp.float32),
+        (
+            jnp.zeros((s,), jnp.float32)
+            if knobs_ema_adapt is None
+            else jnp.asarray(knobs_ema_adapt, jnp.float32)
+        ),
         jnp.asarray(use_warp, jnp.int32),
         jnp.asarray(initialized, jnp.int32),
         jnp.full((s,), warp_blend, jnp.float32),

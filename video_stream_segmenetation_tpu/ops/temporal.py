@@ -17,8 +17,10 @@ def temporal_ema(
     current: jnp.ndarray,
     ema: jnp.ndarray | float,
     initialized: jnp.ndarray,
+    adapt: jnp.ndarray | float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """EMA with the reference's cold-start semantics.
+    """EMA with the reference's cold-start semantics, plus an optional
+    motion-adaptive mode that the reference does not have.
 
     Reference (client/src/core/frameProcessorTest.ts:218-227): on the first
     frame prevAlpha is a copy of current and *current* is returned; after
@@ -26,17 +28,41 @@ def temporal_ema(
     returned.  Functionally: out == new_prev on warm frames, out == current
     (== new_prev) on the first frame, so out always equals new_prev.
 
-    prev, current: ``[..., H, W]``.  ema: scalar or ``[...]`` broadcastable
-    per-stream knob (config.EMA, frameProcessorTest.ts:21).
+    ``adapt`` (None or 0 = reference-exact): per-pixel the effective EMA
+    is ``ema * (1 - adapt * m)`` where the motion gate m ramps 0 -> 1 as
+    ``|current - prev|`` crosses [config.EMA_ADAPT_T0, EMA_ADAPT_T1].
+    Static pixels (model jitter below T0) keep the full smoothing;
+    moving content tracks the current frame instead of lagging a fixed
+    EMA behind it -- the fix for the reference's own smoothing lag on
+    fast motion (the thing to beat, not inherit).
+
+    prev, current: ``[..., H, W]``.  ema/adapt: scalar or ``[...]``
+    broadcastable per-stream knobs (config.EMA, frameProcessorTest.ts:21;
+    config.DEFAULT_EMA_ADAPT).
     initialized: bool ``[...]`` per-stream flag (False on first frame).
     Returns (new_prev, out).
     """
+    from video_stream_segmenetation_tpu.runtime.config import (
+        EMA_ADAPT_T0,
+        EMA_ADAPT_T1,
+    )
+
     k = jnp.asarray(ema, dtype=current.dtype)
     if k.ndim < current.ndim:
         k = k.reshape(k.shape + (1,) * (current.ndim - k.ndim))
     init = jnp.asarray(initialized)
     if init.ndim < current.ndim:
         init = init.reshape(init.shape + (1,) * (current.ndim - init.ndim))
+    if adapt is not None:
+        ad = jnp.asarray(adapt, dtype=current.dtype)
+        if ad.ndim < current.ndim:
+            ad = ad.reshape(ad.shape + (1,) * (current.ndim - ad.ndim))
+        d = jnp.abs(current - prev)
+        m = jnp.clip(
+            (d - EMA_ADAPT_T0) * (1.0 / (EMA_ADAPT_T1 - EMA_ADAPT_T0)),
+            0.0, 1.0,
+        )
+        k = k * (1.0 - ad * m)
     blended = k * prev + (1 - k) * current
     new_prev = jnp.where(init, blended, current)
     return new_prev, new_prev

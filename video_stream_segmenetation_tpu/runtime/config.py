@@ -29,6 +29,19 @@ import jax.numpy as jnp
 
 # defaultConfig values (frameProcessorTest.ts:12-28)
 DEFAULT_EMA = 0.55
+# Motion-adaptive EMA strength (OUR improvement over the reference's
+# fixed EMA, frameProcessorTest.ts:218-227): per pixel, the effective
+# EMA is scaled by 1 - adapt * motion, where motion ramps 0 -> 1 as
+# |current - prev| crosses [EMA_ADAPT_T0, EMA_ADAPT_T1].  Static pixels
+# (|d| <= T0 -- model jitter / flicker noise) keep the full smoothing;
+# genuinely moving content (|d| >= T1) tracks the current frame instead
+# of paying the reference's ~0.04-IoU smoothing lag on fast motion
+# (PARITY.json float_pipeline_vs_gt vs _ema0).  adapt=0 is bit-exact
+# reference semantics (the oracle-pinned compatibility mode); serving
+# presets promote adapt=1 via PipelineStatics.ema_adapt_default.
+DEFAULT_EMA_ADAPT = 0.0
+EMA_ADAPT_T0 = 0.10
+EMA_ADAPT_T1 = 0.40
 DEFAULT_NOISE_CUTOFF = 0.06
 DEFAULT_HIGH_THRESHOLD = 0.95
 DEFAULT_GAMMA = 0.4
@@ -43,6 +56,7 @@ class PipelineKnobs:
     """Per-stream live knobs; every field is an ``[S]`` array."""
 
     ema: jnp.ndarray
+    ema_adapt: jnp.ndarray  # motion-adaptive EMA strength (0 = reference)
     noise_cutoff: jnp.ndarray
     high_threshold: jnp.ndarray
     gamma: jnp.ndarray
@@ -63,11 +77,17 @@ class PipelineKnobs:
         return PipelineKnobs(**out)
 
 
-def default_knobs(num_streams: int) -> PipelineKnobs:
-    """All streams at defaultConfig (the reset path, script.ts:43-46)."""
+def default_knobs(
+    num_streams: int, ema_adapt: float = DEFAULT_EMA_ADAPT
+) -> PipelineKnobs:
+    """All streams at defaultConfig (the reset path, script.ts:43-46).
+
+    ``ema_adapt``: the preset-level default for the motion-adaptive EMA
+    knob (PipelineStatics.ema_adapt_default; 0 = reference-exact)."""
     s = num_streams
     return PipelineKnobs(
         ema=jnp.full((s,), DEFAULT_EMA, jnp.float32),
+        ema_adapt=jnp.full((s,), ema_adapt, jnp.float32),
         noise_cutoff=jnp.full((s,), DEFAULT_NOISE_CUTOFF, jnp.float32),
         high_threshold=jnp.full((s,), DEFAULT_HIGH_THRESHOLD, jnp.float32),
         gamma=jnp.full((s,), DEFAULT_GAMMA, jnp.float32),
@@ -113,6 +133,11 @@ class PipelineStatics:
     # 'hole_fill' (the documented alternative,
     # frameProcessor_branch.ts:155-180)
     temporal_filter: str = "ema"
+    # default value of the per-stream ema_adapt knob for engines built on
+    # these statics (tier-2 seed, not a compile-time constant): 0 =
+    # reference-exact fixed EMA; serving presets set 1.0 so default-knob
+    # streams get the motion-adaptive filter (see DEFAULT_EMA_ADAPT)
+    ema_adapt_default: float = 0.0
     # morphological opening stage toggle (the BlazeFace and branch
     # variants run without morphology)
     morphology: bool = True

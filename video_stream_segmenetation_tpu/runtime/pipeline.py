@@ -746,6 +746,7 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 knobs.ema, knobs.noise_cutoff, knobs.high_threshold,
                 knobs.gamma, knobs.use_bilateral, knobs.sigma_spatial,
                 knobs.sigma_range, has_prior,
+                knobs_ema_adapt=knobs.ema_adapt,
                 guide_planar=planar_guide, debug=kdebug,
                 prior_params=prior if analytic_prior else None,
                 alpha_lowres_hw=(mh, mw) if use_lowres_alpha else None,
@@ -777,7 +778,8 @@ def make_step(bundle: ModelBundle, statics: PipelineStatics):
                 )
             else:
                 new_prev, a = ops.temporal_ema(
-                    state.prev_alpha, base, knobs.ema, state.initialized
+                    state.prev_alpha, base, knobs.ema, state.initialized,
+                    adapt=knobs.ema_adapt,
                 )
 
         if use_fused_tr or "model_only" in statics.debug_stage:

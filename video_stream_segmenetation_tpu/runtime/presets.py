@@ -18,18 +18,25 @@ _PRESETS = {
     # morphology, elliptical prior, bilateral, live knobs)
     "active": dict(),
     # TPU-first fast serving configuration (same stage semantics as
-    # 'active'; fast lowerings)
+    # 'active'; fast lowerings).  ema_adapt_default=1.0 on every fast
+    # preset: the motion-adaptive temporal EMA (ops/temporal.py) -- OUR
+    # improvement over the reference's fixed EMA lag on fast motion
+    # (realistic-clip IoU 0.948 -> 0.979 at default knobs, stability
+    # -0.002, flicker x1.14; tools/tune_adaptive_ema.py, round 5).  The
+    # 'active' preset keeps adapt=0 = reference-exact (oracle-pinned).
     "fast": dict(
         matting_input="native",
         guide_impl="nearest_u8",
         warp_impl="separable",
         face_compact=True,
+        ema_adapt_default=1.0,
     ),
     # maximum-throughput serving: s2d packed ingestion (the native
     # framebuf assembles batches in patch order), plan-B stride-10 stem,
     # int8 matting graph, guide-sourced face path -- the bench.py
     # headline configuration (99.5 sustained 720p30 streams/chip)
     "fast_int8": dict(
+        ema_adapt_default=1.0,
         matting_input="native",
         guide_impl="nearest_u8",
         warp_impl="separable",
@@ -44,6 +51,7 @@ _PRESETS = {
     # fast_int8 with the plan-C lite trunk (matting_decoder='light'):
     # ~43% fewer model FLOPs; edge detail rides the guided refine stage
     "fast_int8_lite": dict(
+        ema_adapt_default=1.0,
         matting_input="native",
         guide_impl="nearest_u8",
         warp_impl="separable",
@@ -61,6 +69,7 @@ _PRESETS = {
     # single dilation-3 context conv, 1x1-only decoder; edge detail
     # rides the guided refine stage (quality study: benchmarks/RESULTS.md)
     "fast_int8_micro": dict(
+        ema_adapt_default=1.0,
         matting_input="native",
         guide_impl="nearest_u8",
         warp_impl="separable",
@@ -77,6 +86,7 @@ _PRESETS = {
     # plan D with single 3x3 convs instead of residual blocks
     # (6.3 GFLOP/frame; study in benchmarks/RESULTS.md)
     "fast_int8_nano": dict(
+        ema_adapt_default=1.0,
         matting_input="native",
         guide_impl="nearest_u8",
         warp_impl="separable",
@@ -107,6 +117,7 @@ _PRESETS = {
     # round 4; the no_face delta drops from ~1.45 to ~0.5-1.25 --
     # measurement-limited on the drifting chip, consistently positive)
     "fast_int8_pico": dict(
+        ema_adapt_default=1.0,
         matting_input="native",
         guide_impl="nearest_u8",
         warp_impl="separable",
@@ -126,6 +137,7 @@ _PRESETS = {
     # plan-G femto trunk (matting_decoder='femto'): every trunk level at
     # exactly one 128-lane group -- the knee-hunt point below pico
     "fast_int8_femto": dict(
+        ema_adapt_default=1.0,
         matting_input="native",
         guide_impl="nearest_u8",
         warp_impl="separable",

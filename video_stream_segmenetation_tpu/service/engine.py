@@ -149,7 +149,9 @@ class Engine:
                 (num_streams, mh, mw, self.statics.num_classes), jnp.float32
             )
         self.state = runtime.init_state(num_streams, (mh, mw), rec=rec)
-        self.knobs = runtime.default_knobs(num_streams)
+        self.knobs = runtime.default_knobs(
+            num_streams, ema_adapt=statics.ema_adapt_default
+        )
         # stored uint8: 4x less HBM traffic per composite; converted
         # on the fly inside the fused step.  In s2d mode backgrounds are
         # cached pre-packed so the step never pays a layout conversion.
@@ -573,6 +575,7 @@ class Engine:
         self.set_knobs(
             slot,
             ema=cfg.DEFAULT_EMA,
+            ema_adapt=self.statics.ema_adapt_default,
             noise_cutoff=cfg.DEFAULT_NOISE_CUTOFF,
             high_threshold=cfg.DEFAULT_HIGH_THRESHOLD,
             gamma=cfg.DEFAULT_GAMMA,

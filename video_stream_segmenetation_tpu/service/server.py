@@ -19,6 +19,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 _KNOB_KEYS = {
     "ema",
+    "ema_adapt",
     "noise_cutoff",
     "high_threshold",
     "gamma",

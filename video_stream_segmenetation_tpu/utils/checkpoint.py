@@ -11,6 +11,7 @@ startup (model.ts:12-67); per-stream state is reset on reload.  Here:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import jax
@@ -86,5 +87,10 @@ def restore_engine(path: str, engine) -> None:
         frame_idx=jnp.asarray(ss["frame_idx"]),
         rec=rec,
     )
-    kn = restored["knobs"]
-    engine.knobs = PipelineKnobs(**{k: jnp.asarray(v) for k, v in kn.items()})
+    kn = {k: jnp.asarray(v) for k, v in restored["knobs"].items()}
+    # knob fields added after a snapshot was taken restore at the
+    # engine's defaults (forward compatibility: e.g. ema_adapt)
+    for f in dataclasses.fields(PipelineKnobs):
+        if f.name not in kn:
+            kn[f.name] = getattr(engine.knobs, f.name)
+    engine.knobs = PipelineKnobs(**kn)
