@@ -1,23 +1,35 @@
 """Mask-IoU parity CLI (the BASELINE.json ">= 0.99 mask IoU" harness).
 
-Usage:
-  # against reference masks exported elsewhere (npz with key 'masks'):
+Usage (bring your own clip -- see README "Evaluating on your own clips"):
+  # frames as a directory of images (sorted) or an npz:
+  python tools/parity_check.py --clip my_clip_dir --ref ref_masks_dir
   python tools/parity_check.py --clip clip.npz --ref ref_masks.npz
+
+  # produce the reference masks by EXECUTING a matting ONNX you have
+  # (e.g. the reference's model_q4f16.onnx float export):
+  python tools/parity_check.py --clip my_clip_dir --onnx-ref model.onnx
 
   # self-check on a synthetic clip (ground-truth alpha as the reference):
   python tools/parity_check.py --synthetic --checkpoint checkpoints/mattenet
 
-clip npz keys: 'frames' [T,H,W,3] u8 (and optional 'masks' for --ref).
-The reference's own matting weights are not public in its repo
-(SURVEY.md §2.7); when they (or their exported masks) become available,
-this tool closes the parity loop with zero code changes.
+clip npz keys: 'frames' [T,H,W,3] u8 (and optional 'masks' for --ref);
+clip dir: *.png/*.jpg frames in name order; --ref dir: grayscale masks.
+720p clips run the production fast_int8_pico serving preset with the
+shipped flagship checkpoint automatically; other geometries use a
+generic engine (pass --checkpoint).  The reference's own matting weights
+are not public in its repo (SURVEY.md §2.7); when they (or their
+exported masks) become available, this tool closes the parity loop with
+zero code changes.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -64,10 +76,52 @@ def _onnx_reference_masks(path: str, frames: np.ndarray, in_hw) -> np.ndarray:
     return np.stack(masks)
 
 
+def _load_image_dir(path: str, as_mask: bool = False) -> np.ndarray:
+    """A directory of images (sorted by name) -> [T,H,W,3] u8 frames or
+    [T,H,W] f32 masks (grayscale, 0..1)."""
+    import os
+
+    from PIL import Image
+
+    names = sorted(
+        n for n in os.listdir(path)
+        if n.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+    )
+    if not names:
+        raise ValueError(f"{path}: no image files")
+    out = []
+    for n in names:
+        img = Image.open(os.path.join(path, n))
+        if as_mask:
+            a = np.asarray(img.convert("L"), np.float32) / 255.0
+        else:
+            a = np.asarray(img.convert("RGB"), np.uint8)
+        out.append(a)
+    return np.stack(out)
+
+
+def _load_frames(path: str):
+    """--clip loader: npz (keys 'frames' [+ 'masks']) or image dir."""
+    import os
+
+    if os.path.isdir(path):
+        return _load_image_dir(path), None
+    with np.load(path) as z:
+        return z["frames"], (z["masks"] if "masks" in z else None)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clip", help="npz with 'frames' [T,H,W,3] u8")
-    ap.add_argument("--ref", help="npz with 'masks' [T,h,w] reference masks")
+    ap.add_argument(
+        "--clip",
+        help="npz with 'frames' [T,H,W,3] u8, or a directory of frame "
+        "images (sorted by name)",
+    )
+    ap.add_argument(
+        "--ref",
+        help="npz with 'masks' [T,h,w] reference masks, or a directory "
+        "of grayscale mask images",
+    )
     ap.add_argument(
         "--onnx-ref",
         help="a matting ONNX file (e.g. the reference's model_q4f16.onnx "
@@ -102,11 +156,15 @@ def main():
     else:
         if not args.clip:
             ap.error("--clip required without --synthetic")
-        with np.load(args.clip) as z:
-            frames = z["frames"]
-            ref_masks = z["masks"] if "masks" in z else None
+        frames, ref_masks = _load_frames(args.clip)
         if args.ref:
-            ref_masks = utils.load_reference_masks(args.ref)
+            import os as _os
+
+            ref_masks = (
+                _load_image_dir(args.ref, as_mask=True)
+                if _os.path.isdir(args.ref)
+                else utils.load_reference_masks(args.ref)
+            )
         if args.onnx_ref:
             ref_masks = _onnx_reference_masks(
                 args.onnx_ref, frames,
@@ -119,14 +177,34 @@ def main():
             )
 
     t, fh, fw, _ = frames.shape
-    mh, mw = max(32, (fh * 2 // 5) // 8 * 8), max(64, (fw * 2 // 5) // 16 * 16)
-    statics = runtime.PipelineStatics(
-        frame_hw=(fh, fw), mask_hw=(mh, mw),
-        fd_size=128, lmk_size=96, background="color", face_path=False,
-    )
-    engine = Engine(num_streams=1, statics=statics, donate_state=False)
-    if args.checkpoint:
-        engine.load_matting_params(args.checkpoint)
+    if (fh, fw) == (720, 1280) and not args.synthetic:
+        # serving geometry: run the PRODUCTION preset with the shipped
+        # flagship checkpoint (the config a reference user would compare)
+        import dataclasses
+        import os as _os
+
+        from video_stream_segmenetation_tpu.runtime.presets import preset
+
+        mh, mw = 288, 512
+        statics = dataclasses.replace(
+            preset("fast_int8_pico"),
+            background="color", face_path=False, fd_size=64, lmk_size=48,
+        )
+        engine = Engine(num_streams=1, statics=statics, donate_state=False)
+        default_ckpt = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "checkpoints", "mattenet_hd10_pico",
+        )
+        engine.load_matting_params(args.checkpoint or default_ckpt)
+    else:
+        mh, mw = max(32, (fh * 2 // 5) // 8 * 8), max(64, (fw * 2 // 5) // 16 * 16)
+        statics = runtime.PipelineStatics(
+            frame_hw=(fh, fw), mask_hw=(mh, mw),
+            fd_size=128, lmk_size=96, background="color", face_path=False,
+        )
+        engine = Engine(num_streams=1, statics=statics, donate_state=False)
+        if args.checkpoint:
+            engine.load_matting_params(args.checkpoint)
     engine.admit()
 
     clip_obj = utils.SyntheticClip(frames=frames, alpha=np.zeros((t, fh, fw), np.float32))

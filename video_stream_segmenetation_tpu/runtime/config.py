@@ -221,6 +221,14 @@ class PipelineStatics:
     # per-channel int8 + relu6-lattice scheme as the trunk, on the MXU s8
     # path; detection boxes/landmarks parity-pinned vs the float models)
     face_precision: str = "bf16"
+    # face model source: 'fast' (our trained dense-conv
+    # FaceFinder/LandmarkNet) or 'reference' -- the reference repo's REAL
+    # shipped MediaPipe ONNX weights (the only real-human-trained weights
+    # available here), served natively via models/reference_face.py.
+    # 'reference' requires fd_size=256 / lmk_size=192 (the graphs'
+    # geometry) and float face serving; the Engine swaps the graphs in at
+    # build (use_reference_face_models).
+    face_models: str = "fast"
     # int8 trunk conv lowering: 'xla' (lax.conv s8 path) or 'pallas'
     # (kernels/conv_int8.py fused conv+dequant+relu6+requant -- int8
     # in/out, no f32 epilogue materialized between layers)

@@ -134,6 +134,32 @@ _PRESETS = {
         fd_size=128,
         lmk_size=128,
     ),
+    # fast_int8_pico serving the reference repo's REAL shipped MediaPipe
+    # face weights (models/reference_face.py; the only real-human-trained
+    # weights in this environment -- PARITY.json student_vs_reference
+    # shows the synthetic-trained fast students trail them on landmarks).
+    # Geometry pinned to the graphs' 256/192; face stays float (the int8
+    # face scheme doesn't apply to ONNX-graph models).  Step cost vs the
+    # fd128 students is recorded in benchmarks/RESULTS.md.
+    "fast_int8_pico_refface": dict(
+        ema_adapt_default=1.0,
+        matting_input="native",
+        guide_impl="nearest_u8",
+        warp_impl="separable",
+        face_compact=True,
+        frame_layout="s2d",
+        s2d_block=10,
+        face_input="guide",
+        matting_precision="int8",
+        matting_decoder="pico",
+        crop_impl="mxu",
+        resize_impl="mxu",
+        refined_dtype="bf16",
+        int8_trunk_fold="vmem",
+        fd_size=256,
+        lmk_size=192,
+        face_models="reference",
+    ),
     # plan-G femto trunk (matting_decoder='femto'): every trunk level at
     # exactly one 128-lane group -- the knee-hunt point below pico
     "fast_int8_femto": dict(

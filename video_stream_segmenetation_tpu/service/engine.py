@@ -108,6 +108,11 @@ class Engine:
             self._swap_in_quantized_face()
         self._donate = (1,) if donate_state else ()
         self._build_steps()
+        if self.statics.face_models == "reference":
+            # serve the reference repo's real shipped MediaPipe weights
+            # (statics tier-1 flag; preset 'fast_int8_pico_refface') --
+            # the swap rebuilds the jitted steps itself
+            self.use_reference_face_models()
         # per-stream-safe failure recovery (SURVEY.md §5): with donation
         # the pre-step buffers are gone when an async device failure
         # surfaces at collect time, so the engine keeps a host-side
