@@ -68,12 +68,14 @@ def main():
     if args.checkpoint:
         engine.load_matting_params(args.checkpoint)
     # trained face models, when available (tools/train_face.py saves
-    # geometry-suffixed checkpoints for non-default fd sizes)
-    suf = "" if statics.fd_size == 256 else f"_{statics.fd_size}"
-    if os.path.isdir(f"checkpoints/facefinder{suf}"):
-        engine.load_face_params(
-            f"checkpoints/facefinder{suf}", f"checkpoints/landmarknet{suf}"
-        )
+    # geometry-suffixed checkpoints for non-default fd/lmk sizes)
+    from video_stream_segmenetation_tpu.utils import face_checkpoint_paths
+
+    fd_ck, lmk_ck = face_checkpoint_paths(
+        "checkpoints", statics.fd_size, statics.lmk_size
+    )
+    if os.path.isdir(fd_ck):
+        engine.load_face_params(fd_ck, lmk_ck)
     sched = runtime.StreamScheduler(engine, use_native_pool=True)
 
     # personalized backgrounds from the sample content data

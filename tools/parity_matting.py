@@ -104,11 +104,14 @@ def build_engine(face: bool = False, **overrides):
     eng = Engine(num_streams=1, statics=statics, donate_state=False)
     eng.load_matting_params(CKPT)
     if face:
-        suf = "" if statics.fd_size == 256 else f"_{statics.fd_size}"
-        eng.load_face_params(
-            os.path.join(ROOT, "checkpoints", "facefinder" + suf),
-            os.path.join(ROOT, "checkpoints", "landmarknet" + suf),
+        from video_stream_segmenetation_tpu.utils import (
+            face_checkpoint_paths,
         )
+
+        eng.load_face_params(*face_checkpoint_paths(
+            os.path.join(ROOT, "checkpoints"),
+            statics.fd_size, statics.lmk_size,
+        ))
     eng.admit()
     return eng
 

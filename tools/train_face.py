@@ -44,7 +44,15 @@ SCENE_HW = (288, 512)  # guide resolution (the face_input='guide' source)
 # bundles stay untouched.
 FD = int(os.environ.get("VST_FD", "256"))
 LMK = int(os.environ.get("VST_LMK", "192"))
-SUFFIX = "" if (FD, LMK) == (256, 192) else f"_{FD}"
+# checkpoints are geometry-keyed per model: facefinder by FD, landmarknet
+# by LMK (the models are independent; 'landmarknet_128' = LMK 128
+# regardless of the detector it trained beside).  VST_SKIP_FD=1 /
+# VST_SKIP_LMK=1 train just one side (e.g. an lmk-96 candidate next to
+# the already-served fd-128 detector).
+FD_SUFFIX = "" if FD == 256 else f"_{FD}"
+LMK_SUFFIX = "" if LMK == 192 else f"_{LMK}"
+SKIP_FD = bool(os.environ.get("VST_SKIP_FD"))
+SKIP_LMK = bool(os.environ.get("VST_SKIP_LMK"))
 
 
 def letterbox_batch(frames, box):
@@ -155,12 +163,20 @@ def main(steps=2000, batch=32):
         out = fd_model.apply(params, fd_in)
         return detector_loss(out, gt, anchors)
 
-    fd_params = train_model(
-        "facefinder", fd_model, fd_loss, None, steps, 1e-3,
-        jnp.zeros((1, FD, FD, 3)),
-    )
-    utils.save_params(os.path.join(OUT, "facefinder" + SUFFIX), fd_params)
-    print("[facefinder] saved", flush=True)
+    if SKIP_FD:
+        fd_params = utils.restore_params(
+            os.path.join(OUT, "facefinder" + FD_SUFFIX)
+        )
+        print("[facefinder] reusing existing checkpoint", flush=True)
+    else:
+        fd_params = train_model(
+            "facefinder", fd_model, fd_loss, None, steps, 1e-3,
+            jnp.zeros((1, FD, FD, 3)),
+        )
+        utils.save_params(
+            os.path.join(OUT, "facefinder" + FD_SUFFIX), fd_params
+        )
+        print("[facefinder] saved", flush=True)
 
     # ---- landmarks
     lmk_model = models.LandmarkNet()
@@ -172,12 +188,20 @@ def main(steps=2000, batch=32):
         out = lmk_model.apply(params, crop)
         return landmark_loss(out, gt, is_face)
 
-    lmk_params = train_model(
-        "landmarknet", lmk_model, lm_loss, None, steps, 1e-3,
-        jnp.zeros((1, LMK, LMK, 3)),
-    )
-    utils.save_params(os.path.join(OUT, "landmarknet" + SUFFIX), lmk_params)
-    print("[landmarknet] saved", flush=True)
+    if SKIP_LMK:
+        lmk_params = utils.restore_params(
+            os.path.join(OUT, "landmarknet" + LMK_SUFFIX)
+        )
+        print("[landmarknet] reusing existing checkpoint", flush=True)
+    else:
+        lmk_params = train_model(
+            "landmarknet", lmk_model, lm_loss, None, steps, 1e-3,
+            jnp.zeros((1, LMK, LMK, 3)),
+        )
+        utils.save_params(
+            os.path.join(OUT, "landmarknet" + LMK_SUFFIX), lmk_params
+        )
+        print("[landmarknet] saved", flush=True)
 
     # ---- eval on held-out scenes
     frames, box, landmarks = synthetic_face_batch(

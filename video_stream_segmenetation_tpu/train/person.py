@@ -131,9 +131,16 @@ def sample_pose(key, batch: int, hw) -> dict:
     }
 
 
-def render(ident: dict, pose: dict, hw, features: bool = False) -> dict:
+def render(ident: dict, pose: dict, hw, features: bool = False,
+           return_parts: bool = False) -> dict:
     """Render the batch: {'alpha' [B,H,W], 'rgb' [B,H,W,3] (valid where
-    alpha>0), 'head_box' [B,4] px} — ground truth BEFORE any occluder."""
+    alpha>0), 'head_box' [B,4] px} — ground truth BEFORE any occluder.
+
+    ``return_parts``: additionally return the class-map parts the
+    multiclass variants train on (tools/train_variants.py
+    ``_class_simplex`` contract): 'a_body' (the full person alpha),
+    'a_head' (head ellipse + visible hair), 'feat' (the darkened facial
+    features, inside the head; zeros when ``features`` is off)."""
     yy0, xx0 = _grid(hw)
     s = pose["s"]
     cx, cy = pose["cx"], pose["cy_s"]
@@ -239,6 +246,8 @@ def render(ident: dict, pose: dict, hw, features: bool = False) -> dict:
             0.0, 1.0,
         )
         skin = skin * (1.0 - (dark * ident["feat_strength"])[..., None])
+    else:
+        dark = jnp.zeros_like(a_head)
     rgb = shirt
     rgb = rgb * (1.0 - a_skin[..., None]) + skin * a_skin[..., None]
     rgb = (
@@ -265,7 +274,17 @@ def render(ident: dict, pose: dict, hw, features: bool = False) -> dict:
         [hx_px - hw_px, hy_px - hh_px, hx_px + hw_px, hy_px + hh_px],
         axis=-1,
     )
-    return {"alpha": alpha, "rgb": rgb, "head_box": head_box}
+    out = {"alpha": alpha, "rgb": rgb, "head_box": head_box}
+    if return_parts:
+        # _class_simplex contract (train/face.py synthetic_face_batch
+        # parts): 'feat' is the RAW feature intensity -- the simplex
+        # multiplies it by a_head itself
+        out["parts"] = {
+            "a_body": alpha,
+            "a_head": jnp.maximum(a_head, a_hair),
+            "feat": dark,
+        }
+    return out
 
 
 def sample_occluder(key, batch: int, hw, p: float = 0.35,
@@ -315,14 +334,17 @@ def sample_occluder(key, batch: int, hw, p: float = 0.35,
 
 
 def person_scene(key, batch: int, hw, bg, features: bool = False,
-                 occluder_p: float = 0.35):
+                 occluder_p: float = 0.35, return_parts: bool = False):
     """Composite a sampled articulated person (+ optional occluder) over
     ``bg`` [B,H,W,3] in [0,1].  Returns (frame [B,H,W,3], gt_alpha
-    [B,H,W], head_box [B,4]) with sensor noise applied."""
+    [B,H,W], head_box [B,4]) with sensor noise applied; with
+    ``return_parts`` a 4th element: occluder-cut class-map parts
+    ('a_body'/'a_head'/'feat', the _class_simplex contract — occluded
+    pixels fall to background, same convention as the alpha gt)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     ident = sample_identity(k1, batch)
     pose = sample_pose(k2, batch, hw)
-    r = render(ident, pose, hw, features=features)
+    r = render(ident, pose, hw, features=features, return_parts=return_parts)
     occ = sample_occluder(k3, batch, hw, p=occluder_p)
     a = r["alpha"][..., None]
     frame = r["rgb"] * a + bg * (1.0 - a)
@@ -330,4 +352,9 @@ def person_scene(key, batch: int, hw, bg, features: bool = False,
     frame = occ["rgb"] * oa + frame * (1.0 - oa)
     gt = r["alpha"] * (1.0 - occ["alpha"])
     noise = jax.random.normal(k4, frame.shape) * 0.016
-    return jnp.clip(frame + noise, 0.0, 1.0), gt, r["head_box"]
+    frame = jnp.clip(frame + noise, 0.0, 1.0)
+    if return_parts:
+        cut = 1.0 - occ["alpha"]
+        parts = {k: v * cut for k, v in r["parts"].items()}
+        return frame, gt, r["head_box"], parts
+    return frame, gt, r["head_box"]

@@ -87,7 +87,8 @@ def load_background_bank(
 
 
 def make_real_bg_data_fn(bank: np.ndarray, device_bank=None,
-                         person: str = "ellipse"):
+                         person: str = "ellipse",
+                         return_parts: bool = False):
     """data_fn(key, batch, hw) compositing procedural people over
     augmented random crops of the real-photo bank (train/loop.py::fit
     hook).  The bank rides to the device ONCE (host->device here is
@@ -97,7 +98,13 @@ def make_real_bg_data_fn(bank: np.ndarray, device_bank=None,
     (train/person.py: hair fringe, clothing texture, limbs, occluders) --
     the train side of the shared train/eval person distribution the
     realistic-clip parity harness measures against (VERDICT r3 #2/#3);
-    'ellipse' keeps the legacy two-ellipse foreground."""
+    'ellipse' keeps the legacy two-ellipse foreground.
+
+    ``return_parts`` (articulated only): data_fn returns
+    (frames, gt, parts) with the occluder-cut class-map parts
+    (train/person.py person_scene) for the multiclass variants."""
+    if return_parts and person != "articulated":
+        raise ValueError("return_parts requires person='articulated'")
     bank_j = jnp.asarray(bank) if device_bank is None else device_bank
     n, bh, bw, _ = bank_j.shape
 
@@ -129,6 +136,12 @@ def make_real_bg_data_fn(bank: np.ndarray, device_bank=None,
         def articulated_fn(key, batch: int, hw: tuple[int, int]):
             ks = jax.random.split(key, 7)
             bg = crop_bg(ks, batch, hw)
+            if return_parts:
+                frame, gt, _, parts = person_scene(
+                    ks[6], batch, hw, bg,
+                    features=True, occluder_p=0.3, return_parts=True,
+                )
+                return frame, gt, parts
             frame, gt, _ = person_scene(
                 ks[6], batch, hw, bg,
                 features=True, occluder_p=0.3,

@@ -1,6 +1,7 @@
 """Utilities: checkpointing, profiling, logging."""
 
 from video_stream_segmenetation_tpu.utils.checkpoint import (  # noqa: F401
+    face_checkpoint_paths,
     restore_engine,
     restore_params,
     save_engine,

@@ -46,6 +46,18 @@ def restore_params(path: str, like=None):
     return _checkpointer().restore(path)
 
 
+def face_checkpoint_paths(ckpt_dir: str, fd_size: int, lmk_size: int):
+    """Geometry-keyed face checkpoint paths (tools/train_face.py naming:
+    facefinder keyed by FD, landmarknet by LMK; no suffix at the
+    reference geometry 256/192).  Returns (fd_path, lmk_path)."""
+    fd_suf = "" if fd_size == 256 else f"_{fd_size}"
+    lmk_suf = "" if lmk_size == 192 else f"_{lmk_size}"
+    return (
+        os.path.join(ckpt_dir, "facefinder" + fd_suf),
+        os.path.join(ckpt_dir, "landmarknet" + lmk_suf),
+    )
+
+
 def save_engine(path: str, engine) -> None:
     """Snapshot an Engine: params + stream state + knobs."""
     state = {
