@@ -81,6 +81,14 @@ def main():
               debug_stage="fd_only"),
         build("fd128_ingest_only", fd_size=128, lmk_size=128,
               debug_stage="fd_only,fd_stub"),
+        # landmark-side attribution + shrink candidates (VERDICT r4 #2):
+        # no_lmk = detector + prior, landmark branch skipped; lmk96/64 =
+        # smaller ROI/LandmarkNet geometry (cost is weight-independent,
+        # so candidates are priced before any retrain)
+        build("fd128_no_lmk", fd_size=128, lmk_size=128,
+              debug_stage="no_lmk"),
+        build("fd128_lmk96", fd_size=128, lmk_size=96),
+        build("fd128_lmk64", fd_size=128, lmk_size=64),
         build("no_face", face_path=False),
     ]
     n1, n2 = 8, 128
@@ -116,6 +124,15 @@ def main():
     )
     res["delta_fd128_vs_noface_ms"] = round(
         res["fd128_lmk128"] - res["no_face"], 3
+    )
+    res["lmk_side_ms"] = round(
+        res["fd128_lmk128"] - res["fd128_no_lmk"], 3
+    )
+    res["delta_lmk96_vs_noface_ms"] = round(
+        res["fd128_lmk96"] - res["no_face"], 3
+    )
+    res["delta_lmk64_vs_noface_ms"] = round(
+        res["fd128_lmk64"] - res["no_face"], 3
     )
     print(json.dumps(res))
 

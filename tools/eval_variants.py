@@ -54,11 +54,12 @@ CASES = [
     ("flagship_fast_int8_femto", "fast_int8_femto", {}, "mattenet_hd10_femto"),
     ("active", "active", {},
      os.environ.get("VST_CKPT_ACTIVE", "mattenet")),
-    ("rvm", "rvm", {}, "rvm"),
+    ("rvm", "rvm", {}, os.environ.get("VST_CKPT_RVM", "rvm")),
     ("u2", "u2", {}, os.environ.get("VST_CKPT_U2", "u2net")),
     ("multiclass", "multiclass", {}, "mattenet_multiclass"),
     ("multiclass_fast", "multiclass_fast", {}, "mattenet_hd10_mc"),
-    ("multiclass_fast_pico", "multiclass_fast_pico", {}, "mattenet_hd10_mc_pico"),
+    ("multiclass_fast_pico", "multiclass_fast_pico", {},
+     os.environ.get("VST_CKPT_MC_PICO", "mattenet_hd10_mc_pico")),
 ]
 
 

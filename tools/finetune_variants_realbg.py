@@ -82,14 +82,24 @@ def chunked_train(name, params, loss_fn, steps, lr, chunk=50):
     return params
 
 
-def finetune_rvm(steps=4000, hw=(288, 512), batch=8, unroll=3):
+def finetune_rvm(steps=4000, hw=(288, 512), batch=8, unroll=3,
+                 render_hw=(720, 1280)):
     """RVM on the articulated mix: same loss as train_variants.train_rvm
     (L1 on the matte + short-path L1+BCE aux, roll-shift temporal
-    unroll), data 50/50 articulated-over-real-photos / procedural."""
+    unroll), data 50/50 articulated-over-real-photos / procedural.
+
+    Scenes are RENDERED at the serving frame resolution (720p) and
+    downsampled to the model input through the SAME resize op the
+    pipeline uses — the realistic-variant eval exposed a render-domain
+    gap: the 'active' checkpoint fine-tuned on 288-native renders scores
+    0.99 on synthetic ellipses but 0.65 on 720p-rendered articulated
+    clips (benchmarks/RESULTS.json variants_realistic), because hair
+    fringe / features / texture land at different frequencies when
+    rendered at 288 vs rendered at 720 and resized."""
     from video_stream_segmenetation_tpu.models.rvm import init_state
     from video_stream_segmenetation_tpu.ops.resize import resize_bilinear
 
-    bank = load_background_bank(hw, oversample=2.0, as_uint8=True)
+    bank = load_background_bank(render_hw, oversample=2.0, as_uint8=True)
     real_fn = make_real_bg_data_fn(bank, person="articulated")
 
     model = models.RecurrentMatteNet()
@@ -99,11 +109,19 @@ def finetune_rvm(steps=4000, hw=(288, 512), batch=8, unroll=3):
     )
     params = utils.restore_params(os.path.join(CKPT, "rvm"), like=like)
 
+    def serve_down(fr, a):
+        # the pipeline's preprocess semantics (ops/resize.py asymmetric)
+        fr = resize_bilinear(fr, hw, method="asymmetric")
+        a = resize_bilinear(a, hw, method="asymmetric", channel_last=False)
+        return fr, a
+
     def data_fn(key, b, hw_):
         k1, k2 = jax.random.split(key)
         b_r = b // 2
-        fr_r, a_r = real_fn(k1, b_r, hw_)
-        fr_s, a_s = synthetic_matting_batch(k2, b - b_r, hw_)
+        fr_r, a_r = serve_down(*real_fn(k1, b_r, render_hw))
+        fr_s, a_s = serve_down(
+            *synthetic_matting_batch(k2, b - b_r, render_hw)
+        )
         return (jnp.concatenate([fr_r, fr_s]), jnp.concatenate([a_r, a_s]))
 
     def loss_fn(params, key):
