@@ -45,10 +45,38 @@ HW = (288, 512)  # the 'active' preset's matting geometry
 BATCH = 16
 
 
-def main(steps: int = 8000) -> None:
-    bank = load_background_bank(HW, oversample=2.0, as_uint8=True)
-    real_fn = make_real_bg_data_fn(bank, person="articulated")
-    mixed_fn = make_mixed_data_fn(real_fn, real_frac=0.5)
+def main(steps: int = 8000, render_hw=(720, 1280)) -> None:
+    # Round 5: scenes for the serving-geometry phase are rendered at the
+    # SERVING frame resolution (720p) and downsampled through the
+    # pipeline's resize -- the realistic-variant eval exposed a
+    # render-domain gap (this checkpoint, fine-tuned on 288-native
+    # renders, scored 0.9861 on synthetic ellipses but 0.649 on
+    # 720p-rendered articulated clips; RESULTS.json variants_realistic).
+    # A quarter of each batch stays 288-native for multi-geometry
+    # robustness (the single-res lesson below).
+    from video_stream_segmenetation_tpu.ops.resize import resize_bilinear
+
+    bank720 = load_background_bank(render_hw, oversample=2.0, as_uint8=True)
+    real720 = make_real_bg_data_fn(bank720, person="articulated")
+
+    def serve_down(fr, a):
+        fr = resize_bilinear(fr, HW, method="asymmetric")
+        a = resize_bilinear(a, HW, method="asymmetric", channel_last=False)
+        return fr, a
+
+    def mixed_fn(key, batch, hw_):
+        k1, k2, k3 = jax.random.split(key, 3)
+        b_r = batch // 2
+        b_s = max(1, batch // 4)
+        fr_r, a_r = serve_down(*real720(k1, b_r, render_hw))
+        fr_s, a_s = serve_down(
+            *synthetic_matting_batch(k2, b_s, render_hw)
+        )
+        fr_n, a_n = synthetic_matting_batch(k3, batch - b_r - b_s, HW)
+        return (
+            jnp.concatenate([fr_r, fr_s, fr_n]),
+            jnp.concatenate([a_r, a_s, a_n]),
+        )
 
     model = models.MatteNet()
     like = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *HW, 3)))
@@ -82,10 +110,11 @@ def main(steps: int = 8000) -> None:
             steps_per_call=50, loss_fn=make_pipeline_loss(model),
         )
         print(f"[active/mix {phw}] {json.dumps(history[-1])}", flush=True)
-    utils.save_params(os.path.join(CKPT, "mattenet_mix"), params)
-    print("saved -> checkpoints/mattenet_mix "
-          "(promote by copying over checkpoints/mattenet after the "
-          "eval_variants 'active' gate)", flush=True)
+    utils.save_params(os.path.join(CKPT, "mattenet_mix720"), params)
+    print("saved -> checkpoints/mattenet_mix720 "
+          "(gate via eval_variants[_realistic] VST_CKPT_ACTIVE="
+          "mattenet_mix720 before promoting over checkpoints/mattenet)",
+          flush=True)
 
 
 if __name__ == "__main__":

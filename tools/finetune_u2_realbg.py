@@ -38,11 +38,40 @@ HW = (320, 320)
 BATCH = 16
 
 
-def main(steps: int = 5000) -> None:
-    bank = load_background_bank(HW, oversample=2.0, as_uint8=True)
-    mixed_fn = make_mixed_data_fn(
-        make_real_bg_data_fn(bank, person="articulated"), real_frac=0.5
+def main(steps: int = 5000, render_hw=(720, 1280)) -> None:
+    # Scenes are rendered at the SERVING frame resolution (720p) and
+    # downsampled to the model's 320x320 through the pipeline's resize --
+    # the realistic-variant eval exposed a render-domain gap (u2net_mix
+    # trained on 320-native renders scored 0.154 on 720p-rendered
+    # articulated clips, RESULTS.json variants_realistic).  A quarter of
+    # each batch stays 320-native so the multi-geometry robustness
+    # lesson from the 'active' fine-tune carries.
+    from video_stream_segmenetation_tpu.ops.resize import resize_bilinear
+    from video_stream_segmenetation_tpu.train.loop import (
+        synthetic_matting_batch,
     )
+
+    bank = load_background_bank(render_hw, oversample=2.0, as_uint8=True)
+    real_fn = make_real_bg_data_fn(bank, person="articulated")
+
+    def serve_down(fr, a):
+        fr = resize_bilinear(fr, HW, method="asymmetric")
+        a = resize_bilinear(a, HW, method="asymmetric", channel_last=False)
+        return fr, a
+
+    def mixed_fn(key, batch, hw_):
+        k1, k2, k3 = jax.random.split(key, 3)
+        b_r = batch // 2
+        b_s = max(1, batch // 4)
+        fr_r, a_r = serve_down(*real_fn(k1, b_r, render_hw))
+        fr_s, a_s = serve_down(
+            *synthetic_matting_batch(k2, b_s, render_hw)
+        )
+        fr_n, a_n = synthetic_matting_batch(k3, batch - b_r - b_s, HW)
+        return (
+            jnp.concatenate([fr_r, fr_s, fr_n]),
+            jnp.concatenate([a_r, a_s, a_n]),
+        )
     model = models.SaliencyNet()
     like = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *HW, 3)))
     params = utils.restore_params(os.path.join(CKPT, "u2net"), like=like)
@@ -63,8 +92,9 @@ def main(steps: int = 5000) -> None:
         loss_fn=u2_loss,
     )
     print(f"[u2/mix] {json.dumps(history[-1])}", flush=True)
-    utils.save_params(os.path.join(CKPT, "u2net_mix"), params)
-    print("saved -> checkpoints/u2net_mix", flush=True)
+    utils.save_params(os.path.join(CKPT, "u2net_mix720"), params)
+    print("saved -> checkpoints/u2net_mix720 (gate via "
+          "eval_variants[_realistic] VST_CKPT_U2=u2net_mix720)", flush=True)
 
 
 if __name__ == "__main__":
