@@ -376,7 +376,24 @@ def make_multiclass_step(bundle: ModelBundle, statics: PipelineStatics):
             # (cost(EMA + renorm) = full - this, holding composite fixed)
             blended = ca
         else:
-            blended = jnp.where(init, kk * prev + (1 - kk) * ca, ca)
+            # motion-adaptive gate on the class simplex (same semantics
+            # as ops.temporal_ema's adapt: per pixel, the effective EMA
+            # shrinks where the maps moved; m = max class delta so a
+            # class handoff counts as motion).  adapt=0 = plain EMA.
+            from video_stream_segmenetation_tpu.runtime.config import (
+                EMA_ADAPT_T0,
+                EMA_ADAPT_T1,
+            )
+
+            ad = knobs.ema_adapt[:, None, None, None]
+            m = jnp.clip(
+                (jnp.max(jnp.abs(ca - prev), axis=-1, keepdims=True)
+                 - EMA_ADAPT_T0)
+                * (1.0 / (EMA_ADAPT_T1 - EMA_ADAPT_T0)),
+                0.0, 1.0,
+            )
+            ke = kk * (1.0 - ad * m)
+            blended = jnp.where(init, ke * prev + (1 - ke) * ca, ca)
             blended = blended / jnp.maximum(
                 blended.sum(-1, keepdims=True), 1e-6
             )
