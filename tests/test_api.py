@@ -42,3 +42,19 @@ def test_lazy_top_level_exports():
     assert callable(vst.default_knobs)
     with pytest.raises(AttributeError):
         vst.not_a_thing
+
+
+def test_face_checkpoint_paths():
+    """Geometry-keyed face checkpoint naming (tools/train_face.py
+    convention: facefinder by FD, landmarknet by LMK)."""
+    from video_stream_segmenetation_tpu.utils import face_checkpoint_paths
+
+    assert face_checkpoint_paths("c", 256, 192) == (
+        "c/facefinder", "c/landmarknet"
+    )
+    assert face_checkpoint_paths("c", 128, 128) == (
+        "c/facefinder_128", "c/landmarknet_128"
+    )
+    assert face_checkpoint_paths("c", 128, 96) == (
+        "c/facefinder_128", "c/landmarknet_96"
+    )

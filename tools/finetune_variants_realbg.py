@@ -188,15 +188,28 @@ def finetune_multiclass_pico(steps=4000, hw=(720, 1280), batch=4,
         real_fn = real_fns[hw_]
 
         def loss_fn(params, key):
-            k1, k2 = jax.random.split(key)
+            k1, k2, k3 = jax.random.split(key, 3)
             b_r = batch_ // 2
+            b_f = max(1, batch_ // 4)
+            b_e = batch_ - b_r - b_f
             fr_r, _gt, parts_r = real_fn(k1, b_r, hw_)
             fr_s, _b, _l, parts_s = synthetic_face_batch(
-                k2, batch_ - b_r, hw_, return_parts=True
+                k2, b_f, hw_, return_parts=True
             )
-            frames = jnp.concatenate([fr_r, fr_s])
+            # plain head-free people (the synthetic gate's distribution):
+            # whole person = body class, head/features zero -- without
+            # this third the fine-tune forgets the featureless person
+            # (first attempt: synthetic gate 0.984 -> 0.588)
+            fr_e, a_e = synthetic_matting_batch(k3, b_e, hw_)
+            parts_e = {
+                "a_body": a_e,
+                "a_head": jnp.zeros_like(a_e),
+                "feat": jnp.zeros_like(a_e),
+            }
+            frames = jnp.concatenate([fr_r, fr_s, fr_e])
             gt = jnp.concatenate(
-                [_class_simplex(parts_r), _class_simplex(parts_s)]
+                [_class_simplex(parts_r), _class_simplex(parts_s),
+                 _class_simplex(parts_e)]
             )
             out = model.apply(params, frames)
             a = out["alpha"]
@@ -209,9 +222,12 @@ def finetune_multiclass_pico(steps=4000, hw=(720, 1280), batch=4,
 
         return loss_fn
 
+    # the serving render (720p) carries the most steps; the small phases
+    # bracket it for cross-geometry robustness (the active-variant
+    # multi-res lesson)
     for phw, pbatch, plr, psteps, tag in (
-        (small_hw, small_batch, 3e-4, steps, "pre"),
-        (hw, batch, 1e-4, max(steps // 2, 400), "ft720"),
+        (small_hw, small_batch, 3e-4, max(steps // 2, 400), "pre"),
+        (hw, batch, 1e-4, steps, "ft720"),
         (small_hw, small_batch, 7e-5, max(steps // 4, 200), "polish"),
     ):
         params = chunked_train(
