@@ -74,23 +74,29 @@ def build(name, **ov):
 
 
 def main():
-    variants = [
-        build("fd256_lmk192"),
-        build("fd128_lmk128", fd_size=128, lmk_size=128),
-        build("fd128_fd_only", fd_size=128, lmk_size=128,
-              debug_stage="fd_only"),
-        build("fd128_ingest_only", fd_size=128, lmk_size=128,
-              debug_stage="fd_only,fd_stub"),
-        # landmark-side attribution + shrink candidates (VERDICT r4 #2):
-        # no_lmk = detector + prior, landmark branch skipped; lmk96/64 =
-        # smaller ROI/LandmarkNet geometry (cost is weight-independent,
-        # so candidates are priced before any retrain)
-        build("fd128_no_lmk", fd_size=128, lmk_size=128,
-              debug_stage="no_lmk"),
-        build("fd128_lmk96", fd_size=128, lmk_size=96),
-        build("fd128_lmk64", fd_size=128, lmk_size=64),
-        build("no_face", face_path=False),
-    ]
+    # each variant costs a multi-minute HTTP compile on this transport;
+    # VST_FACE_SET selects a subset ('lmk' = the landmark-side study,
+    # VERDICT r4 #2 — cost is weight-independent, so shrink candidates
+    # are priced before any retrain)
+    all_variants = {
+        "fd256_lmk192": dict(),
+        "fd128_lmk128": dict(fd_size=128, lmk_size=128),
+        "fd128_fd_only": dict(fd_size=128, lmk_size=128,
+                              debug_stage="fd_only"),
+        "fd128_ingest_only": dict(fd_size=128, lmk_size=128,
+                                  debug_stage="fd_only,fd_stub"),
+        "fd128_no_lmk": dict(fd_size=128, lmk_size=128,
+                             debug_stage="no_lmk"),
+        "fd128_lmk96": dict(fd_size=128, lmk_size=96),
+        "fd128_lmk64": dict(fd_size=128, lmk_size=64),
+        "no_face": dict(face_path=False),
+    }
+    sets = {
+        "full": list(all_variants),
+        "lmk": ["fd128_lmk128", "fd128_no_lmk", "fd128_lmk96", "no_face"],
+    }
+    names = sets[os.environ.get("VST_FACE_SET", "full")]
+    variants = [build(n, **all_variants[n]) for n in names]
     n1, n2 = 8, 128
 
     def once(roll, args, n):
@@ -119,21 +125,15 @@ def main():
         }}), flush=True)
     med = lambda xs: sorted(xs)[len(xs) // 2]
     res = {name: round(med(slopes[name]), 3) for name, _, _ in variants}
-    res["delta_fd256_vs_noface_ms"] = round(
-        res["fd256_lmk192"] - res["no_face"], 3
-    )
-    res["delta_fd128_vs_noface_ms"] = round(
-        res["fd128_lmk128"] - res["no_face"], 3
-    )
-    res["lmk_side_ms"] = round(
-        res["fd128_lmk128"] - res["fd128_no_lmk"], 3
-    )
-    res["delta_lmk96_vs_noface_ms"] = round(
-        res["fd128_lmk96"] - res["no_face"], 3
-    )
-    res["delta_lmk64_vs_noface_ms"] = round(
-        res["fd128_lmk64"] - res["no_face"], 3
-    )
+    def delta(out, a, b):
+        if a in res and b in res:
+            res[out] = round(res[a] - res[b], 3)
+
+    delta("delta_fd256_vs_noface_ms", "fd256_lmk192", "no_face")
+    delta("delta_fd128_vs_noface_ms", "fd128_lmk128", "no_face")
+    delta("lmk_side_ms", "fd128_lmk128", "fd128_no_lmk")
+    delta("delta_lmk96_vs_noface_ms", "fd128_lmk96", "no_face")
+    delta("delta_lmk64_vs_noface_ms", "fd128_lmk64", "no_face")
     print(json.dumps(res))
 
 
