@@ -89,11 +89,16 @@ def main():
                              debug_stage="no_lmk"),
         "fd128_lmk96": dict(fd_size=128, lmk_size=96),
         "fd128_lmk64": dict(fd_size=128, lmk_size=64),
+        # the reference's real MediaPipe face graphs at their native
+        # 256/192 geometry (preset fast_int8_pico_refface)
+        "refface": dict(fd_size=256, lmk_size=192,
+                        face_models="reference"),
         "no_face": dict(face_path=False),
     }
     sets = {
         "full": list(all_variants),
         "lmk": ["fd128_lmk128", "fd128_no_lmk", "fd128_lmk96", "no_face"],
+        "refface": ["fd128_lmk128", "refface", "no_face"],
     }
     names = sets[os.environ.get("VST_FACE_SET", "full")]
     variants = [build(n, **all_variants[n]) for n in names]
@@ -134,6 +139,8 @@ def main():
     delta("lmk_side_ms", "fd128_lmk128", "fd128_no_lmk")
     delta("delta_lmk96_vs_noface_ms", "fd128_lmk96", "no_face")
     delta("delta_lmk64_vs_noface_ms", "fd128_lmk64", "no_face")
+    delta("delta_refface_vs_noface_ms", "refface", "no_face")
+    delta("delta_refface_vs_fd128_ms", "refface", "fd128_lmk128")
     print(json.dumps(res))
 
 
