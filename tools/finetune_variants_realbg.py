@@ -107,7 +107,10 @@ def finetune_rvm(steps=4000, hw=(288, 512), batch=8, unroll=3,
         jax.random.PRNGKey(0), jnp.zeros((batch, *hw, 3)),
         init_state(batch, hw),
     )
-    params = utils.restore_params(os.path.join(CKPT, "rvm"), like=like)
+    # VST_RESUME: continue from a prior candidate instead of the serving
+    # checkpoint (loss was still descending at the first 4000 steps)
+    src = os.environ.get("VST_RESUME", "rvm")
+    params = utils.restore_params(os.path.join(CKPT, src), like=like)
 
     def serve_down(fr, a):
         # the pipeline's preprocess semantics (ops/resize.py asymmetric)
